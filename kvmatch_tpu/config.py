@@ -1,0 +1,100 @@
+"""Configuration for the KV-match TPU engine.
+
+Every tunable that the reference hard-codes as ``private static final`` becomes a real
+config field here (reference: QueryEngine.java:51-59, NormQueryEngine.java:57-60,
+IndexBuilder.java:52-53,136, MeanIntervalUtils.java:35-41, IndexNode.java:31,
+TimeSeriesNode.java:30).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+# The reference's window family: WuList with an enabled mask selecting
+# Sigma = {25, 50, 100, 200, 400} (QueryEngine.java:51-52).
+DEFAULT_WU_LIST: Tuple[int, ...] = (25, 50, 75, 100, 125, 150, 175, 200,
+                                    225, 250, 275, 300, 325, 350, 375, 400)
+DEFAULT_WU_ENABLED: Tuple[bool, ...] = (True, True, False, True, False, False, False, True,
+                                        False, False, False, False, False, False, False, True)
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexConfig:
+    """Index-construction configuration (reference IndexBuilder.java:52-53, 135-136).
+
+    ``pos_of_d`` sets the mean-bucket grid width d = 0.5 * 10^(1 - pos_of_d)
+    (MeanIntervalUtils.java:38-41; default pos_of_d=2 -> d=0.05).
+    """
+
+    wu_list: Tuple[int, ...] = DEFAULT_WU_LIST
+    wu_enabled: Tuple[bool, ...] = DEFAULT_WU_ENABLED
+    pos_of_d: int = 2
+    # Maximum number of offsets covered by one stored position interval
+    # (IndexNode.java:31 MAXIMUM_DIFF = 256).
+    maximum_diff: int = 256
+    # Row-merge policy: merge a row into its (descending-key) predecessor when its
+    # interval count < merge_count_factor * average AND the merged interval list is
+    # smaller than merge_shrink_factor * (sum of parts) (IndexBuilder.java:327-329).
+    merge_count_factor: float = 1.2
+    merge_shrink_factor: float = 0.8
+    # Conservative widening of probe ranges to absorb float32 build-side rounding
+    # (TPU addition; sound — can only add candidate rows, never drop answers).
+    probe_guard: float = 1e-4
+    # Chunk length for the streaming (out-of-core) build path.
+    build_chunk: int = 2 ** 24
+
+    @property
+    def d(self) -> float:
+        return 0.5 * 10.0 ** (1 - self.pos_of_d)
+
+    @property
+    def scales(self) -> Tuple[int, ...]:
+        """Enabled window widths (Sigma)."""
+        return tuple(w for w, e in zip(self.wu_list, self.wu_enabled) if e)
+
+    @property
+    def unit(self) -> int:
+        """The unit window width w_u (smallest scale; 25 in the reference)."""
+        return self.wu_list[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class QueryConfig:
+    """Query-time configuration (reference QueryEngine.java:54-59 etc.)."""
+
+    # Phase-0 DP segmentation limits (QueryEngine.java:463, 480).
+    max_segments: int = 30
+    enable_query_reordering: bool = True
+    # Early termination of phase 1 driven by the phase-2 cost model
+    # (QueryEngine.java:54-57, 316-327).
+    enable_early_termination: bool = True
+    # Cost model t2 ~= a * #disjointWindows + b * #offsets/1e5 * L  (ms).  The reference
+    # fitted (a, b) on its lab machine; we re-fit for the TPU verify kernels via
+    # Engine.fit_cost_model, these are the reference's defaults (QueryEngine.java:55-57).
+    phase2_cost_a: float = 4.0707589132278
+    phase2_cost_b: float = 0.269833135638498
+    phase2_cost_a_dtw: float = 9.72276547123376
+    phase2_cost_b_dtw: float = 0.0106737255022236
+    phase2_cost_intercept: float = 0.0
+    min_segments_before_termination: int = 5
+    # Normalized-engine extras (NormQueryEngine.java:57-60).
+    enable_std_filter: bool = True
+    enable_beta_partition: bool = True
+    beta_partition_width: float = 10.0
+    max_scan_data_length: int = 40000
+    # Phase-2 device batching: candidate windows are verified in padded batches of
+    # this many rows (TPU tiling; multiple of 8 for f32 sublanes).
+    verify_batch: int = 1024
+    # Guard band for exact host re-verification of device f32 distances: offsets with
+    # |d^2 - eps^2| <= guard * eps^2 (relative) are re-checked in float64 on host, which
+    # makes the final answer set exact while keeping the heavy compute on TPU.
+    verify_guard: float = 1e-2
+
+    # The incremental index-cache visiting of the reference (QueryEngine.java:204-252)
+    # is intentionally subsumed: the whole index is HBM/RAM-resident here, so every
+    # probe is a pure array lookup and caching ranges would only add overhead.
+
+
+DEFAULT_INDEX_CONFIG = IndexConfig()
+DEFAULT_QUERY_CONFIG = QueryConfig()

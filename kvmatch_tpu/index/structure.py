@@ -1,0 +1,90 @@
+"""KV-index array layout: one ``IndexScale`` per window width in Sigma.
+
+Array (CSR) re-design of the reference's row-oriented index
+(entity/IndexNode.java:29-159, operator/file/IndexFileOperator.java:127-164):
+
+  keys      f64[R]     sorted ascending; key = lower edge of the mean range a row
+                       covers (after variable-width row merging the upper edge is
+                       the next key, exactly as in MeanIntervalUtils.toUpper with
+                       statisticInfo, MeanIntervalUtils.java:104-114)
+  row_ptr   i64[R+1]   CSR offsets into the interval arrays
+  left/right i64[P]    position intervals (0-based window starts, inclusive), sorted
+                       by left within each row, each covering <= 256 offsets
+                       (IndexNode.java:31)
+  cum_intervals i64[R] cumulative #intervals per row (ascending key order) — the
+  cum_offsets   i64[R] "meta table" prefix sums the planner's selectivity estimates
+                       binary-search (ByteUtils.java:89-95, QueryEngine.java:382-402)
+
+The whole structure is plain NumPy on host and can be pushed to device HBM as flat
+arrays for the jit'd dense probe path (parallel/query.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class IndexScale:
+    w: int
+    n: int
+    keys: np.ndarray          # f64[R]
+    row_ptr: np.ndarray       # i64[R+1]
+    left: np.ndarray          # i64[P]
+    right: np.ndarray         # i64[P]
+    cum_intervals: np.ndarray  # i64[R]
+    cum_offsets: np.ndarray   # i64[R]
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.keys.size)
+
+    @property
+    def num_intervals(self) -> int:
+        return int(self.left.size)
+
+    def row_slice(self, r: int) -> Tuple[np.ndarray, np.ndarray]:
+        s, e = int(self.row_ptr[r]), int(self.row_ptr[r + 1])
+        return self.left[s:e], self.right[s:e]
+
+    def memory_bytes(self) -> int:
+        return sum(a.nbytes for a in (self.keys, self.row_ptr, self.left,
+                                      self.right, self.cum_intervals, self.cum_offsets))
+
+    def counts_between(self, begin_round: float, end_round: float) -> Tuple[int, int]:
+        """(#intervals, #offsets) in rows with begin_round <= key <= end_round,
+        using the cumulative meta arrays exactly like getCountsFromStatisticInfo
+        (QueryEngine.java:382-402)."""
+        keys = self.keys
+        if keys.size == 0:
+            return 0, 0
+        i0 = int(np.searchsorted(keys, begin_round, side="left"))
+        i0 = min(i0, keys.size - 1)
+        lo_i = int(self.cum_intervals[i0 - 1]) if i0 > 0 else 0
+        lo_o = int(self.cum_offsets[i0 - 1]) if i0 > 0 else 0
+        i1 = int(np.searchsorted(keys, end_round, side="left"))
+        i1 = min(i1, keys.size - 1)
+        hi_i = int(self.cum_intervals[i1]) if i1 > 0 else 0
+        hi_o = int(self.cum_offsets[i1]) if i1 > 0 else 0
+        return hi_i - lo_i, hi_o - lo_o
+
+    def probe_rows(self, begin_key: float, end_key: float) -> np.ndarray:
+        """Indices of rows whose key lies in [begin_key, end_key] (inclusive).
+
+        Equivalent to IndexFileOperator.readIndexes' lowerBound/upperBound binary
+        searches (IndexFileOperator.java:65-119) — but O(log R) on an in-RAM array
+        instead of per-probe file reads.
+        """
+        i0 = int(np.searchsorted(self.keys, begin_key, side="left"))
+        i1 = int(np.searchsorted(self.keys, end_key, side="right"))
+        return np.arange(i0, i1)
+
+
+Index = Dict[int, IndexScale]
+
+
+def total_memory_bytes(index: Index) -> int:
+    return sum(s.memory_bytes() for s in index.values())
