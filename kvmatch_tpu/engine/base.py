@@ -1,0 +1,247 @@
+"""Shared engine machinery: two-phase query skeleton over the KV-index.
+
+This is the TPU-era shape of the reference's four engine classes
+(QueryEngine.java:162-380 and siblings): a generic phase-1 loop over probe
+segments with vectorized interval intersection, followed by a batched device
+verification (phase 2) plus an exact float64 host confirmation of near-threshold
+candidates — which makes the final answer set exact even though the heavy
+distance work runs in float32 on the TPU.
+
+Subclasses provide four hooks:
+  _plan(query, ctx)          -> List[QuerySegment]
+  _scan(segment, ctx)        -> interval set with payload columns
+  _combine(pieces, a, b, ia, ib, ctx) -> filtered pieces (the CS x CS_i step)
+  _verify(offsets, ctx)      -> (answer_offsets, distances)  [exact]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import IndexConfig, QueryConfig, DEFAULT_INDEX_CONFIG, DEFAULT_QUERY_CONFIG
+from ..index.build import build_index_tpu
+from ..index.structure import Index, IndexScale
+from ..plan import QuerySegment
+from ..utils import intervals as iv
+from ..utils import rounding
+
+
+@dataclasses.dataclass
+class QueryStats:
+    """Per-query observability counters — the six StatisticInfo slots of the
+    reference (QueryEngine.java:136-140, 365-371) plus extras."""
+    t_total_ms: float = 0.0
+    t_phase1_ms: float = 0.0
+    t_phase2_ms: float = 0.0
+    n_candidates: int = 0
+    n_answers: int = 0
+    n_scans: int = 0
+    n_segments_used: int = 0
+    n_device_checked: int = 0
+    n_host_rechecked: int = 0
+    early_terminated: bool = False
+
+
+@dataclasses.dataclass
+class QueryResult:
+    offsets: np.ndarray    # 0-based answer offsets, sorted by distance
+    distances: np.ndarray  # exact float64 distances
+    stats: QueryStats
+
+    @property
+    def found(self) -> bool:
+        return self.offsets.size > 0
+
+    def best(self) -> Optional[Tuple[int, float]]:
+        if not self.found:
+            return None
+        return int(self.offsets[0]), float(self.distances[0])
+
+
+@dataclasses.dataclass
+class _Ctx:
+    """Per-query context threaded through the hooks."""
+    query: np.ndarray
+    length: int
+    epsilon: float
+    eps2: float
+    params: dict
+    stats: QueryStats
+    last_min_eps: float = 0.0
+    processed_units: int = 0
+
+
+class BaseEngine:
+    """Common state: the series (f64 on host + f32 in device HBM) and the index."""
+
+    payloads: Tuple[str, ...] = ("eps",)
+    use_dtw_cost_model = False
+
+    def __init__(self, data: np.ndarray, index: Optional[Index] = None,
+                 icfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+                 qcfg: QueryConfig = DEFAULT_QUERY_CONFIG,
+                 device_data=None):
+        import jax.numpy as jnp
+        self.data = np.ascontiguousarray(np.asarray(data, np.float64))
+        self.n = self.data.size
+        self.icfg = icfg
+        self.qcfg = qcfg
+        self.index = index if index is not None else build_index_tpu(self.data, icfg)
+        self.data_dev = device_data if device_data is not None \
+            else jnp.asarray(self.data, jnp.float32)
+
+    # ------------------------------------------------------------------ helpers
+    def scale(self, w: int) -> IndexScale:
+        return self.index[w]
+
+    def _row_bounds(self, sc: IndexScale, rows: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-row mean range [key_i - slack, next_key + slack]; the slack widens the
+        reference's [key, toUpper(key)] (QueryEngine.java:578-591) to absorb f32
+        build-side bucket flips — sound: it can only weaken lower bounds."""
+        slack = self.icfg.probe_guard
+        keys = sc.keys
+        lo = keys[rows] - slack
+        hi = np.where(rows + 1 < keys.size,
+                      keys[np.minimum(rows + 1, keys.size - 1)], np.inf) + slack
+        return lo, hi
+
+    def _gather_rows(self, sc: IndexScale, rows: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Flatten the interval lists of the probed rows.  Returns
+        (row_of_interval, left, right)."""
+        counts = sc.row_ptr[rows + 1] - sc.row_ptr[rows]
+        total = int(counts.sum())
+        rep_rows = np.repeat(np.arange(rows.size), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        flat = (np.arange(total) - np.repeat(offs, counts)) + np.repeat(sc.row_ptr[rows], counts)
+        return rep_rows, sc.left[flat], sc.right[flat]
+
+    def _cost_normalizer(self) -> float:
+        """Total interval count of the w=100 index (or the closest enabled scale) —
+        the denominator of the DP's log-selectivity (QueryEngine.java:409)."""
+        scales = sorted(self.index)
+        ref_w = 100 if 100 in self.index else scales[len(scales) // 2]
+        sc = self.index[ref_w]
+        return float(sc.cum_intervals[-1]) if sc.num_rows else 1.0
+
+    # ------------------------------------------------------------------ hooks
+    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+        raise NotImplementedError
+
+    def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def _verify(self, offsets: np.ndarray, ctx: _Ctx
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    def _track_min_eps(self, cs: Dict[str, np.ndarray], ctx: _Ctx) -> None:
+        if "eps" in cs and cs["eps"].size:
+            ctx.last_min_eps = float(cs["eps"].min())
+
+    # ------------------------------------------------------------------ phase 1
+    def _phase1(self, segments: List[QuerySegment], ctx: _Ctx
+                ) -> Tuple[Dict[str, np.ndarray], int]:
+        unit = self.icfg.unit
+        qcfg = self.qcfg
+        t0 = time.perf_counter()
+        cs: Optional[Dict[str, np.ndarray]] = None
+        last_segment = segments[-1].order
+        last_estimate = float("inf")
+        cost_a = qcfg.phase2_cost_a_dtw if self.use_dtw_cost_model else qcfg.phase2_cost_a
+        cost_b = qcfg.phase2_cost_b_dtw if self.use_dtw_cost_model else qcfg.phase2_cost_b
+
+        for i, seg in enumerate(segments):
+            delta = 0 if i == len(segments) - 1 else \
+                (segments[i + 1].order - seg.order) * unit
+            ctx.processed_units += seg.w // unit
+
+            positions = iv.merge_intervals(self._scan(seg, ctx))
+            ctx.stats.n_scans += 1
+
+            if i == 0:
+                base = (seg.order - 1) * unit
+                lo, hi = base, self.n - ctx.length + base  # valid window starts, 0-based
+                left = np.maximum(positions["left"], lo)
+                right = np.minimum(positions["right"], hi)
+                keep = left <= right
+                nxt = {k: v[keep] for k, v in positions.items()}
+                nxt["left"], nxt["right"] = left[keep], right[keep]
+            else:
+                pieces, ia, ib = iv.intersect(cs, positions)
+                nxt = self._combine(pieces, cs, positions, ia, ib, ctx)
+
+            self._track_min_eps(nxt, ctx)
+            cs = iv.merge_intervals(iv.shift(nxt, delta))
+            ctx.stats.n_segments_used = i + 1
+
+            if cs["left"].size == 0:
+                ctx.stats.t_phase1_ms = (time.perf_counter() - t0) * 1e3
+                return cs, (segments[i + 1].order if i + 1 < len(segments) else seg.order)
+
+            n_disjoint, n_offsets = iv.count_stats(cs)
+            if qcfg.enable_early_termination:
+                t1_ms = (time.perf_counter() - t0) * 1e3
+                est2 = (cost_a * n_disjoint +
+                        cost_b * n_offsets / 1e5 * ctx.length +
+                        qcfg.phase2_cost_intercept)
+                estimate = t1_ms + est2
+                if (i >= qcfg.min_segments_before_termination
+                        and estimate > last_estimate):
+                    last_segment = (segments[i + 1].order if i + 1 < len(segments)
+                                    else seg.order)
+                    ctx.stats.early_terminated = True
+                    break
+                last_estimate = estimate
+        else:
+            last_segment = segments[-1].order
+
+        ctx.stats.t_phase1_ms = (time.perf_counter() - t0) * 1e3
+        return cs, last_segment
+
+    # ------------------------------------------------------------------ driver
+    def query(self, query: np.ndarray, epsilon: float, **params) -> QueryResult:
+        query = np.asarray(query, np.float64)
+        stats = QueryStats()
+        ctx = _Ctx(query=query, length=query.size, epsilon=float(epsilon),
+                   eps2=float(epsilon) ** 2, params=params, stats=stats)
+        t0 = time.perf_counter()
+
+        segments = self._plan(ctx)
+        cs, last_segment = self._phase1(segments, ctx)
+
+        t2 = time.perf_counter()
+        if cs["left"].size:
+            base = (last_segment - 1) * self.icfg.unit
+            offsets = iv.expand_offsets(cs) - base
+            offsets = offsets[(offsets >= 0) & (offsets <= self.n - ctx.length)]
+        else:
+            offsets = np.empty(0, np.int64)
+        stats.n_candidates = int(offsets.size)
+        if offsets.size:
+            ans_off, ans_dist = self._verify(offsets, ctx)
+        else:
+            ans_off, ans_dist = np.empty(0, np.int64), np.empty(0)
+        stats.t_phase2_ms = (time.perf_counter() - t2) * 1e3
+
+        order = np.argsort(ans_dist, kind="stable")
+        ans_off, ans_dist = ans_off[order], ans_dist[order]
+        stats.n_answers = int(ans_off.size)
+        stats.t_total_ms = (time.perf_counter() - t0) * 1e3
+        return QueryResult(offsets=ans_off, distances=ans_dist, stats=stats)
+
+    def query_at(self, offset: int, length: int, epsilon: float, **params) -> QueryResult:
+        """Self-query convenience: extract Q = data[offset : offset+length] first
+        (the reference's query(statistics, offset, length, ...) overload,
+        QueryEngine.java:155-160).  ``offset`` is 0-based."""
+        if not (0 <= offset and offset + length <= self.n):
+            raise ValueError("query window out of range")
+        return self.query(self.data[offset: offset + length], epsilon, **params)

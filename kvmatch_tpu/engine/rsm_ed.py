@@ -1,0 +1,96 @@
+"""RSM-ED engine: raw-subsequence matching under Euclidean distance.
+
+TPU-native equivalent of the reference QueryEngine (QueryEngine.java:46-711).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..ops.ed import ed_distances
+from ..plan import QuerySegment, determine_query_plan, unit_sums
+from ..utils import intervals as iv
+from ..utils import rounding
+from .. import verify as vf
+from .base import BaseEngine, _Ctx
+
+
+class QueryEngine(BaseEngine):
+    payloads = ("eps",)
+
+    # ---------------------------------------------------------------- phase 0
+    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+        sums = unit_sums(ctx.query, self.icfg.unit)
+        norm = self._cost_normalizer()
+
+        def cost_fn(l: int, r: int, mean_lo: float, mean_hi: float) -> Tuple[float, int]:
+            w = self.icfg.unit * (r - l + 1)
+            sc = self.index[w]
+            rng = ctx.epsilon / math.sqrt(w)
+            b = float(rounding.to_round(mean_lo - rng, self.icfg.pos_of_d))
+            e = float(rounding.to_round(mean_hi + rng, self.icfg.pos_of_d))
+            cnt_i, _ = sc.counts_between(b, e)
+            log_cost = math.log(cnt_i / norm) if cnt_i > 0 else -math.inf
+            return log_cost, cnt_i
+
+        return determine_query_plan(ctx.length, sums, sums, cost_fn,
+                                    self.icfg, self.qcfg)
+
+    # ---------------------------------------------------------------- phase 1
+    def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:
+        """Probe rows with key in [mean - range, mean + range]
+        (QueryEngine.java:199-202, 504-518); range shrinks with the best epsilon
+        lower bound accumulated so far."""
+        sc = self.index[seg.w]
+        budget = max(ctx.eps2 - ctx.last_min_eps, 0.0)
+        rng = math.sqrt(budget / seg.w) + self.icfg.probe_guard
+        begin = float(rounding.snap_down(seg.mean_lo - rng, sc.keys, self.icfg.pos_of_d))
+        end = float(rounding.to_round(seg.mean_hi + rng, self.icfg.pos_of_d))
+        rows = sc.probe_rows(begin, end)
+        if rows.size == 0:
+            return iv.empty_set(("eps",))
+        lo, hi = self._row_bounds(sc, rows)
+        # Distance lower bound per row: w * dist(query mean, [lo, hi])^2
+        # (getDistanceLowerBound, QueryEngine.java:578-591).
+        delta = np.maximum(np.maximum(lo - seg.mean_hi, seg.mean_lo - hi), 0.0)
+        eps_row = seg.w * delta * delta
+        rep_rows, left, right = self._gather_rows(sc, rows)
+        return {"left": left, "right": right, "eps": eps_row[rep_rows]}
+
+    def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
+        eps_sum = a["eps"][ia] + b["eps"][ib]
+        keep = eps_sum <= ctx.eps2
+        return {"left": pieces["left"][keep], "right": pieces["right"][keep],
+                "eps": eps_sum[keep]}
+
+    # ---------------------------------------------------------------- phase 2
+    @functools.lru_cache(maxsize=8)
+    def _kernel(self, length: int):
+        import jax.numpy as jnp
+        data_dev = self.data_dev
+        def run(query_f32, offs):
+            return ed_distances(data_dev, query_f32, offs, length)
+        return run
+
+    def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+        q32 = jnp.asarray(ctx.query, jnp.float32)
+        kernel = self._kernel(ctx.length)
+        d2 = vf.device_distances(offsets, self.qcfg.verify_batch,
+                                 lambda o: kernel(q32, o))
+        ctx.stats.n_device_checked = int(offsets.size)
+        thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, ctx.length, self.qcfg.verify_guard)
+        near = offsets[d2 <= thresh]
+        ctx.stats.n_host_rechecked = int(near.size)
+        if near.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
+        # Exact float64 confirmation on host.
+        idx = near[:, None] + np.arange(ctx.length)[None, :]
+        diff = self.data[idx] - ctx.query[None, :]
+        d2h = np.einsum("ij,ij->i", diff, diff)
+        keep = d2h <= ctx.eps2
+        return near[keep], np.sqrt(d2h[keep])

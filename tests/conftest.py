@@ -1,0 +1,13 @@
+"""Test harness config: force CPU with a virtual 8-device mesh.
+
+Must run before jax is imported anywhere (SURVEY.md section 4: multi-device tests
+via xla_force_host_platform_device_count).  Bench/production code paths pick the
+real TPU; tests stay hermetic on CPU.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,77 @@
+"""Answer-set parity: RSM-ED engine vs the float64 brute-force oracle."""
+
+import numpy as np
+import pytest
+
+from kvmatch_tpu import oracle
+from kvmatch_tpu.config import IndexConfig, QueryConfig
+from kvmatch_tpu.data.generators import generate_series
+from kvmatch_tpu.engine.rsm_ed import QueryEngine
+from kvmatch_tpu.index.build import build_index_tpu
+
+N = 60_000
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = generate_series(N, seed=7)
+    icfg = IndexConfig()
+    index = build_index_tpu(data, icfg)
+    engine = QueryEngine(data, index=index, icfg=icfg)
+    return data, engine
+
+
+def _check(engine, data, offset, length, epsilon):
+    res = engine.query_at(offset, length, epsilon)
+    oo, od = oracle.rsm_ed(data, data[offset:offset + length], epsilon)
+    got = dict(zip(res.offsets.tolist(), res.distances.tolist()))
+    want = dict(zip(oo.tolist(), od.tolist()))
+    assert set(got) == set(want), (
+        f"offset={offset} L={length} eps={epsilon}: "
+        f"missing={sorted(set(want) - set(got))[:5]} extra={sorted(set(got) - set(want))[:5]}")
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert offset in got and got[offset] == pytest.approx(0.0, abs=1e-9)
+
+
+@pytest.mark.parametrize("offset,length,epsilon", [
+    (123, 400, 5.0),
+    (1234, 1600, 10.0),
+    (30000, 4096, 20.0),
+    (7777, 800, 1.0),
+    (50, 25, 0.5),
+])
+def test_self_query_parity(setup, offset, length, epsilon):
+    data, engine = setup
+    _check(engine, data, offset, length, epsilon)
+
+
+def test_random_queries_parity(setup):
+    data, engine = setup
+    rng = np.random.default_rng(3)
+    for _ in range(8):
+        length = int(rng.choice([100, 250, 775, 1525, 3000]))
+        offset = int(rng.integers(0, N - length))
+        epsilon = float(rng.choice([0.5, 3.0, 15.0, 40.0]))
+        _check(engine, data, offset, length, epsilon)
+
+
+def test_noise_query_no_false_dismissal(setup):
+    """Query not cut from the data: engine must still match the oracle exactly."""
+    data, engine = setup
+    rng = np.random.default_rng(11)
+    q = data[5000:5000 + 512] + rng.normal(0, 0.05, 512)
+    for eps in (1.0, 2.0, 8.0):
+        res = engine.query(q, eps)
+        oo, _ = oracle.rsm_ed(data, q, eps)
+        assert set(res.offsets.tolist()) == set(oo.tolist())
+
+
+def test_stats_populated(setup):
+    data, engine = setup
+    res = engine.query_at(2000, 800, 5.0)
+    s = res.stats
+    assert s.n_answers >= 1
+    assert s.n_candidates >= s.n_answers
+    assert s.n_scans >= 1 and s.n_segments_used >= 1
+    assert s.t_total_ms > 0
