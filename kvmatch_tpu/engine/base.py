@@ -107,7 +107,8 @@ class BaseEngine:
         keys = sc.keys
         lo = keys[rows] - slack
         hi = np.where(rows + 1 < keys.size,
-                      keys[np.minimum(rows + 1, keys.size - 1)], np.inf) + slack
+                      keys[np.minimum(rows + 1, keys.size - 1)],
+                      sc.mean_upper_bound) + slack
         return lo, hi
 
     def _gather_rows(self, sc: IndexScale, rows: np.ndarray

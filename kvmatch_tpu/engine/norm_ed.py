@@ -1,0 +1,239 @@
+"""cNSM-ED engine: constrained normalized subsequence matching under ED.
+
+TPU-native equivalent of the reference NormQueryEngine (NormQueryEngine.java:43-915):
+z-normalized Euclidean distance with the constraints
+
+    |mu_T - mu_Q| <= beta        and        1/alpha <= sigma_T/sigma_Q <= alpha.
+
+Phase-1 additions over RSM-ED:
+  * alpha/beta-transformed probe bounds per segment (NormQueryEngine.java:225-231),
+  * running Ex/Ex2 bound tracks for the derived-sigma filter
+    (ENABLE_STD_FILTER, NormQueryEngine.java:354-382),
+  * a <=64-bit beta-partition bitmask intersected across segments
+    (ENABLE_BETA_PARTITION, NormQueryEngine.java:234-255, 341-352).
+
+The bound tracks here are slightly more conservative than the reference's
+(exact zero-straddling handling for Ex2, see utils/intervals.py combine rules),
+which preserves soundness under our vectorized merging.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..ops.ed import znorm_ed_distances
+from ..plan import QuerySegment, determine_query_plan, unit_sums
+from ..utils import intervals as iv
+from ..utils import rounding
+from .. import verify as vf
+from .base import BaseEngine, _Ctx
+
+
+class NormQueryEngine(BaseEngine):
+    payloads = ("ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta")
+    use_dtw_cost_model = True  # reference uses the DTW-fit coefficients here
+                               # (NormQueryEngine.java:52-54)
+
+    # ---------------------------------------------------------------- bounds
+    def _probe_bounds(self, mean_lo: float, mean_hi: float, w: int,
+                      ctx: _Ctx) -> Tuple[float, float]:
+        """alpha/beta dual probe bounds (NormQueryEngine.java:225-231): candidate
+        window means must lie in the union over s in [1/alpha, alpha] of
+        s*mean + (1-s)*muQ +- (beta + s*sigmaQ*eps/sqrt(w))."""
+        alpha = ctx.params["alpha"]
+        beta = ctx.params["beta"]
+        mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
+        r = ctx.epsilon * sd_q / math.sqrt(w)
+        lo = min((1.0 / alpha) * mean_lo + (1 - 1.0 / alpha) * mu_q - beta - r / alpha,
+                 alpha * mean_lo + (1 - alpha) * mu_q - beta - alpha * r)
+        hi = max(alpha * mean_hi + (1 - alpha) * mu_q + beta + alpha * r,
+                 (1.0 / alpha) * mean_hi + (1 - 1.0 / alpha) * mu_q + beta + r / alpha)
+        return lo, hi
+
+    def _beta_partitions(self, mean_lo: float, mean_hi: float, w: int,
+                         ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-partition key ranges (NormQueryEngine.java:241-255).  Partition count
+        is clamped to [1, 64]; the reference's int(2*beta/width) can degenerate to 0
+        for small beta, which would wrongly empty every bitmask."""
+        alpha = ctx.params["alpha"]
+        beta = ctx.params["beta"]
+        mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
+        num = 1
+        if self.qcfg.enable_beta_partition:
+            num = min(max(int(2.0 * beta / self.qcfg.beta_partition_width), 1), 64)
+        width = 2.0 * beta / num
+        r = ctx.epsilon * sd_q / math.sqrt(w)
+        k = np.arange(num)
+        b_lo = -beta + width * k
+        b_hi = -beta + width * (k + 1)
+        begin = np.minimum(
+            (1.0 / alpha) * mean_lo + (1 - 1.0 / alpha) * mu_q + b_lo - r / alpha,
+            alpha * mean_lo + (1 - alpha) * mu_q + b_lo - alpha * r)
+        end = np.maximum(
+            alpha * mean_hi + (1 - alpha) * mu_q + b_hi + alpha * r,
+            (1.0 / alpha) * mean_hi + (1 - 1.0 / alpha) * mu_q + b_hi + r / alpha)
+        return begin, end
+
+    # ---------------------------------------------------------------- phase 0
+    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+        q = ctx.query
+        mu_q = float(q.mean())
+        sd_q = float(np.sqrt(max(np.mean(q * q) - mu_q * mu_q, 0.0)))
+        ctx.params["_mu_q"], ctx.params["_sd_q"] = mu_q, sd_q
+        sums = unit_sums(q, self.icfg.unit)
+        norm = self._cost_normalizer()
+
+        def cost_fn(l: int, r: int, mean_lo: float, mean_hi: float) -> Tuple[float, int]:
+            w = self.icfg.unit * (r - l + 1)
+            sc = self.index[w]
+            b, e = self._probe_bounds(mean_lo, mean_hi, w, ctx)
+            b = float(rounding.to_round(b, self.icfg.pos_of_d))
+            e = float(rounding.to_round(e, self.icfg.pos_of_d))
+            cnt_i, _ = sc.counts_between(b, e)
+            log_cost = math.log(cnt_i / norm) if cnt_i > 0 else -math.inf
+            return log_cost, cnt_i
+
+        return determine_query_plan(ctx.length, sums, sums, cost_fn,
+                                    self.icfg, self.qcfg)
+
+    # ---------------------------------------------------------------- phase 1
+    def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:
+        sc = self.index[seg.w]
+        guard = self.icfg.probe_guard
+        b, e = self._probe_bounds(seg.mean_lo, seg.mean_hi, seg.w, ctx)
+        begin = float(rounding.snap_down(b - guard, sc.keys, self.icfg.pos_of_d))
+        end = float(rounding.to_round(e + guard, self.icfg.pos_of_d))
+        rows = sc.probe_rows(begin, end)
+        cols = ("ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta")
+        if rows.size == 0:
+            return iv.empty_set(cols)
+        lo, hi = self._row_bounds(sc, rows)
+        k_units = seg.w // self.icfg.unit
+        # Sound bound tracks for the derived-sigma filter: the window mean of this
+        # segment lies in [lo, hi].
+        ex_lo = lo * k_units
+        ex_up = hi * k_units
+        ex2_lo = np.where(lo > 0, lo * lo, np.where(hi < 0, hi * hi, 0.0)) * k_units
+        ex2_up = np.maximum(lo * lo, hi * hi) * k_units
+        # Beta-partition bitmask per row.
+        pb, pe = self._beta_partitions(seg.mean_lo, seg.mean_hi, seg.w, ctx)
+        key = sc.keys[rows]
+        inside = (pb[None, :] - guard <= key[:, None]) & (key[:, None] <= pe[None, :] + guard)
+        bits = (inside.astype(np.uint64) << np.arange(pb.size, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        rep_rows, left, right = self._gather_rows(sc, rows)
+        return {"left": left, "right": right,
+                "ex_lo": ex_lo[rep_rows], "ex2_lo": ex2_lo[rep_rows],
+                "ex_up": ex_up[rep_rows], "ex2_up": ex2_up[rep_rows],
+                "beta": bits[rep_rows]}
+
+    def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
+        keep = np.ones(ia.size, bool)
+        bits = a["beta"][ia] & b["beta"][ib]
+        if self.qcfg.enable_beta_partition:
+            keep &= bits != 0
+        ex_lo = a["ex_lo"][ia] + b["ex_lo"][ib]
+        ex2_lo = a["ex2_lo"][ia] + b["ex2_lo"][ib]
+        ex_up = a["ex_up"][ia] + b["ex_up"][ib]
+        ex2_up = a["ex2_up"][ia] + b["ex2_up"][ib]
+        if self.qcfg.enable_std_filter:
+            keep &= self._std_filter(ex_lo, ex2_lo, ex_up, ex2_up, ctx)
+        out = {k: v[keep] for k, v in pieces.items()}
+        out.update(ex_lo=ex_lo[keep], ex2_lo=ex2_lo[keep],
+                   ex_up=ex_up[keep], ex2_up=ex2_up[keep], beta=bits[keep])
+        return out
+
+    def _std_filter(self, ex_lo, ex2_lo, ex_up, ex2_up, ctx: _Ctx) -> np.ndarray:
+        """Derived-sigma lower-bound filter (NormQueryEngine.java:354-382,
+        NormQueryEngineDtw.java:370-389, both directions).
+
+        If even the covered prefix forces the full-window mean outside
+        [muQ-beta, muQ+beta] unless the remaining points sit at an extreme value,
+        the minimum achievable sigma^2 is derived; prune when it exceeds
+        (alpha*sigmaQ)^2."""
+        unit = self.icfg.unit
+        L = ctx.length
+        p = ctx.processed_units
+        alpha = ctx.params["alpha"]
+        beta = ctx.params["beta"]
+        mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
+        rest = L - p * unit
+        limit = alpha * alpha * sd_q * sd_q
+        if rest <= 0:
+            # Whole window covered: bound sigma^2 directly.
+            mean_lo = ex_lo / p
+            mean_up = ex_up / p
+            var_lb = np.where(mean_up < mu_q - beta, (mu_q - beta - mean_up) ** 2,
+                              np.where(mean_lo > mu_q + beta,
+                                       (mean_lo - mu_q - beta) ** 2, 0.0))
+            return var_lb <= limit + 1e-12
+        keep = np.ones(ex_lo.shape, bool)
+        # Lower track: covered mean too HIGH.
+        mean_lo = ex_lo / p
+        over = mean_lo > mu_q + beta
+        if over.any():
+            new_val = mu_q + beta - (mean_lo - mu_q - beta) * p * unit / rest
+            var2 = (ex2_lo * unit + rest * new_val * new_val) / L - (mu_q + beta) ** 2
+            keep &= ~over | (var2 <= limit + 1e-12)
+        # Upper track: covered mean too LOW.
+        mean_up = ex_up / p
+        under = mean_up < mu_q - beta
+        if under.any():
+            new_val = mu_q - beta + (mu_q - beta - mean_up) * p * unit / rest
+            var2 = (ex2_lo * unit + rest * new_val * new_val) / L - (mu_q - beta) ** 2
+            keep &= ~under | (var2 <= limit + 1e-12)
+        return keep
+
+    # ---------------------------------------------------------------- phase 2
+    def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+        alpha = ctx.params["alpha"]
+        beta = ctx.params["beta"]
+        mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
+        q_hat = (ctx.query - mu_q) / sd_q
+        q32 = jnp.asarray(q_hat, jnp.float32)
+        data_dev = self.data_dev
+        L = ctx.length
+
+        def kernel(offs):
+            return znorm_ed_distances(data_dev, q32, offs, L)
+
+        m = offsets.size
+        padded = vf.pad_batches(offsets.astype(np.int32), self.qcfg.verify_batch)
+        d2s, means, stds = [], [], []
+        for s in range(0, padded.size, self.qcfg.verify_batch):
+            d2, mu, sd = kernel(padded[s:s + self.qcfg.verify_batch])
+            d2s.append(np.asarray(d2)); means.append(np.asarray(mu)); stds.append(np.asarray(sd))
+        d2 = np.concatenate(d2s)[:m]
+        mu = np.concatenate(means)[:m]
+        sd = np.concatenate(stds)[:m]
+        ctx.stats.n_device_checked = int(m)
+
+        # Guarded constraint + distance pre-filter on device results.
+        cg = 1e-3 * (1.0 + np.abs(mu_q) + sd_q)
+        ratio = sd / sd_q
+        ok = (np.abs(mu - mu_q) <= beta + cg) & (ratio <= alpha + cg) & \
+             (ratio >= 1.0 / alpha - cg) & (sd > 0)
+        thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, L, self.qcfg.verify_guard)
+        near = offsets[ok & (d2 <= thresh)]
+        ctx.stats.n_host_rechecked = int(near.size)
+        if near.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
+        # Exact float64 confirmation.
+        idx = near[:, None] + np.arange(L)[None, :]
+        x = self.data[idx]
+        mu_h = x.mean(axis=1)
+        var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
+        sd_h = np.sqrt(var_h)
+        ratio_h = sd_h / sd_q
+        ok_h = (np.abs(mu_h - mu_q) <= beta) & (ratio_h <= alpha) & \
+               (ratio_h >= 1.0 / alpha) & (sd_h > 0)
+        zt = (x - mu_h[:, None]) / np.where(sd_h > 0, sd_h, 1.0)[:, None]
+        diff = zt - q_hat[None, :]
+        d2h = np.einsum("ij,ij->i", diff, diff)
+        keep = ok_h & (d2h <= ctx.eps2)
+        return near[keep], np.sqrt(d2h[keep])

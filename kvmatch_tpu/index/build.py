@@ -146,10 +146,13 @@ def _group_and_merge(ivl_bucket, left, right, cfg: IndexConfig, w: int, n: int) 
     n_off = np.add.reduceat(flat_r - flat_l + 1, row_ptr[:-1]) if flat_l.size else \
         np.zeros(len(out_lists), np.int64)
     n_off = np.where(n_iv == 0, 0, n_off)
+    upper = float(rounding.bucket_to_key(int(ubuckets[-1]) + 1, cfg.pos_of_d)) \
+        if ubuckets.size else float("inf")
     return IndexScale(
         w=w, n=n, keys=keys, row_ptr=row_ptr,
         left=flat_l.astype(np.int64), right=flat_r.astype(np.int64),
         cum_intervals=np.cumsum(n_iv), cum_offsets=np.cumsum(n_off),
+        mean_upper_bound=upper,
     )
 
 

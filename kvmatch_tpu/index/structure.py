@@ -37,6 +37,10 @@ class IndexScale:
     right: np.ndarray         # i64[P]
     cum_intervals: np.ndarray  # i64[R]
     cum_offsets: np.ndarray   # i64[R]
+    # Strict upper bound on every window mean in this scale (upper edge of the
+    # highest occupied bucket) — closes the last row's mean range, which the
+    # reference leaves open-ended (MeanIntervalUtils.java:109 returns +10000).
+    mean_upper_bound: float = float("inf")
 
     @property
     def num_rows(self) -> int:
