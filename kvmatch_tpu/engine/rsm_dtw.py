@@ -1,0 +1,101 @@
+"""RSM-DTW engine: raw-subsequence matching under banded dynamic time warping.
+
+TPU-native equivalent of the reference QueryEngineDtw (QueryEngineDtw.java:44-854).
+Phase 0/1 reuse the RSM-ED machinery with the query's Lemire envelope as the
+per-segment mean *range* (RangeQuerySegment, QueryEngineDtw.java:515-644); phase 2
+is the batched LB cascade + banded-DTW kernel (ops/dtw.py) with exact float64
+confirmation of near-threshold survivors.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+from ..ops.dtw import dtw_banded_batch, dtw_banded_batch_f64, lb_keogh, lb_kim
+from ..plan import QuerySegment, determine_query_plan, envelope, unit_sums
+from ..utils import rounding
+from .. import verify as vf
+from .base import _Ctx
+from .rsm_ed import QueryEngine
+
+
+class QueryEngineDtw(QueryEngine):
+    use_dtw_cost_model = True
+
+    # ---------------------------------------------------------------- phase 0
+    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+        rho = ctx.params["rho"]
+        env_lo, env_hi = envelope(ctx.query, rho)
+        sums_lo = unit_sums(env_lo, self.icfg.unit)
+        sums_hi = unit_sums(env_hi, self.icfg.unit)
+        norm = self._cost_normalizer()
+
+        def cost_fn(l: int, r: int, mean_lo: float, mean_hi: float) -> Tuple[float, int]:
+            w = self.icfg.unit * (r - l + 1)
+            sc = self.index[w]
+            rng = ctx.epsilon / math.sqrt(w)
+            b = float(rounding.to_round(mean_lo - rng, self.icfg.pos_of_d))
+            e = float(rounding.to_round(mean_hi + rng, self.icfg.pos_of_d))
+            cnt_i, _ = sc.counts_between(b, e)
+            log_cost = math.log(cnt_i / norm) if cnt_i > 0 else -math.inf
+            return log_cost, cnt_i
+
+        return determine_query_plan(ctx.length, sums_lo, sums_hi, cost_fn,
+                                    self.icfg, self.qcfg)
+
+    # ---------------------------------------------------------------- phase 1
+    def _scan(self, seg: QuerySegment, ctx: _Ctx):
+        # Reset guard: a stale minimum epsilon above the budget would produce a
+        # negative range (QueryEngineDtw.java:210).
+        if ctx.last_min_eps > ctx.eps2:
+            ctx.last_min_eps = 0.0
+        return super()._scan(seg, ctx)
+
+    # ---------------------------------------------------------------- phase 2
+    def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+        rho = ctx.params["rho"]
+        L = ctx.length
+        q64 = ctx.query
+        env_lo, env_hi = envelope(q64, rho)
+        q32 = jnp.asarray(q64, jnp.float32)
+        lo32 = jnp.asarray(env_lo, jnp.float32)
+        hi32 = jnp.asarray(env_hi, jnp.float32)
+        data_dev = self.data_dev
+        batch = self.qcfg.verify_batch
+        thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, L, self.qcfg.verify_guard)
+        ctx.stats.n_device_checked = int(offsets.size)
+
+        # Stage 1+2: cheap lower bounds prune the batch.
+        import jax
+        from ..ops.ed import _gather_windows
+
+        @jax.jit
+        def lb_stage(offs):
+            x = _gather_windows(data_dev, offs, L)
+            return jnp.maximum(lb_kim(x, q32), lb_keogh(x, lo32, hi32))
+
+        lb = vf.device_distances(offsets, batch, lb_stage)
+        survivors = offsets[lb <= thresh]
+        if survivors.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
+
+        # Stage 3: full banded DTW on survivors.
+        @jax.jit
+        def dtw_stage(offs):
+            x = _gather_windows(data_dev, offs, L)
+            return dtw_banded_batch(x, q32, rho)
+
+        d2 = vf.device_distances(survivors, batch, dtw_stage)
+        near = survivors[d2 <= thresh]
+        ctx.stats.n_host_rechecked = int(near.size)
+        if near.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
+        # Exact float64 confirmation.
+        idx = near[:, None] + np.arange(L)[None, :]
+        d2h = dtw_banded_batch_f64(self.data[idx], q64, rho)
+        keep = d2h <= ctx.eps2
+        return near[keep], np.sqrt(d2h[keep])

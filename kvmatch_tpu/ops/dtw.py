@@ -1,0 +1,137 @@
+"""Banded DTW + lower-bound cascade, batched for TPU.
+
+TPU redesign of the UCR-suite kernels (utils/DtwUtils.java:22-338).  The reference
+runs one candidate at a time with data-dependent early abandoning; that shape doesn't
+vectorize, so here a *batch* of candidate windows moves through the cascade together:
+
+  lb_kim   ->   lb_keogh (query envelope)   ->   full banded DTW on survivors
+
+and each stage is a fixed-shape fused kernel.  Early abandoning is replaced by
+between-stage batch compaction (survivors are gathered on the host and re-batched),
+which is the TPU-idiomatic trade: bounded dense work at HBM bandwidth beats
+serial branchy work.
+
+The banded DP itself uses a prefix-scan formulation of the row recurrence.  With
+band coordinate k (j = i - r + k) the classic recurrence
+
+    D[k] = dist[k] + min(P[k], P[k+1], D[k-1])        (DtwUtils.java:286-321)
+
+has a serial horizontal dependency; defining M[k] = min(P[k], P[k+1]) and
+C = cumsum(dist) it unrolls to
+
+    D[k] = C[k] + min_{j<=k} (M[j] - C[j-1]),
+
+i.e. one cumulative sum + one cumulative min per row — log-depth on the VPU, no
+scalar loop.  A float64 NumPy twin (`dtw_banded_batch_f64`) provides the exact
+host confirmation for near-threshold candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = 1e30
+
+
+def _band_dtw_rows(a_batch, q, r: int):
+    """Shared scan body builder: a_batch (B, L) vs q (L,), band radius r."""
+    Bsz, L = a_batch.shape
+    W = 2 * r + 1
+    ks = jnp.arange(W)
+
+    def row(carry, i):
+        P = carry
+        j = i - r + ks                          # query index per band slot
+        valid = (j >= 0) & (j < L)
+        qv = q[jnp.clip(j, 0, L - 1)]
+        d = (a_batch[:, i][:, None] - qv[None, :]) ** 2
+        d = jnp.where(valid[None, :], d, 0.0)
+        shifted = jnp.concatenate([P[:, 1:], jnp.full((Bsz, 1), BIG)], axis=1)
+        M = jnp.minimum(P, shifted)
+        M = jnp.where(i == 0, jnp.where(ks == r, 0.0, BIG)[None, :], M)
+        C = jnp.cumsum(d, axis=1)
+        Cprev = jnp.concatenate([jnp.zeros((Bsz, 1)), C[:, :-1]], axis=1)
+        G = M - Cprev
+        D = C + jax.lax.cummin(G, axis=1)
+        D = jnp.where(valid[None, :], D, BIG)
+        D = jnp.minimum(D, BIG)
+        return D, None
+
+    return row, W
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def dtw_banded_batch(a_batch: jnp.ndarray, q: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Squared banded DTW distances for a (B, L) batch against one query (L,)."""
+    Bsz, L = a_batch.shape
+    row, W = _band_dtw_rows(a_batch, q, r)
+    P0 = jnp.full((Bsz, W), BIG)
+    P, _ = jax.lax.scan(row, P0, jnp.arange(L))
+    return P[:, r]
+
+
+def dtw_banded_batch_f64(a_batch: np.ndarray, q: np.ndarray, r: int) -> np.ndarray:
+    """Float64 NumPy twin of ``dtw_banded_batch`` — exact host confirmation."""
+    a_batch = np.asarray(a_batch, np.float64)
+    q = np.asarray(q, np.float64)
+    Bsz, L = a_batch.shape
+    W = 2 * r + 1
+    ks = np.arange(W)
+    P = np.full((Bsz, W), np.inf)
+    for i in range(L):
+        j = i - r + ks
+        valid = (j >= 0) & (j < L)
+        qv = q[np.clip(j, 0, L - 1)]
+        d = (a_batch[:, i][:, None] - qv[None, :]) ** 2
+        d[:, ~valid] = 0.0
+        shifted = np.concatenate([P[:, 1:], np.full((Bsz, 1), np.inf)], axis=1)
+        M = np.minimum(P, shifted)
+        if i == 0:
+            M = np.where(ks == r, 0.0, np.inf)[None, :].repeat(Bsz, 0)
+        C = np.cumsum(d, axis=1)
+        Cprev = np.concatenate([np.zeros((Bsz, 1)), C[:, :-1]], axis=1)
+        with np.errstate(invalid="ignore"):
+            D = C + np.minimum.accumulate(M - Cprev, axis=1)
+        D[:, ~valid] = np.inf
+        P = D
+    return P[:, r]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def lb_kim(a_batch: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Batched LB_Kim endpoint bound (DtwUtils.lbKimHierarchy, DtwUtils.java:149-189)
+    without the early exits — the full 3-front/3-back sum is the same valid lower
+    bound and prunes at least as much."""
+    def dist(x, y):
+        return (x - y) ** 2
+    x0, x1, x2 = a_batch[:, 0], a_batch[:, 1], a_batch[:, 2]
+    y0, y1, y2 = a_batch[:, -1], a_batch[:, -2], a_batch[:, -3]
+    q0, q1, q2 = q[0], q[1], q[2]
+    p0, p1, p2 = q[-1], q[-2], q[-3]
+    lb = dist(x0, q0) + dist(y0, p0)
+    d = jnp.minimum(jnp.minimum(dist(x1, q0), dist(x0, q1)), dist(x1, q1))
+    lb += d
+    d = jnp.minimum(jnp.minimum(dist(y1, p0), dist(y0, p1)), dist(y1, p1))
+    lb += d
+    d = jnp.minimum(jnp.minimum(dist(x0, q2), dist(x1, q2)), dist(x2, q2))
+    d = jnp.minimum(d, jnp.minimum(dist(x2, q1), dist(x2, q0)))
+    lb += d
+    d = jnp.minimum(jnp.minimum(dist(y0, p2), dist(y1, p2)), dist(y2, p2))
+    d = jnp.minimum(d, jnp.minimum(dist(y2, p1), dist(y2, p0)))
+    lb += d
+    return lb
+
+
+@jax.jit
+def lb_keogh(a_batch: jnp.ndarray, q_lo: jnp.ndarray, q_hi: jnp.ndarray) -> jnp.ndarray:
+    """Batched LB_Keogh against the query envelope (DtwUtils.lbKeoghCumulative,
+    DtwUtils.java:206-222, fully summed)."""
+    over = jnp.maximum(a_batch - q_hi[None, :], 0.0)
+    under = jnp.maximum(q_lo[None, :] - a_batch, 0.0)
+    exc = jnp.maximum(over, under)
+    return jnp.sum(exc * exc, axis=1)

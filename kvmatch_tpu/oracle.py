@@ -105,6 +105,14 @@ def dtw_banded(a: np.ndarray, b: np.ndarray, r: int) -> float:
     return float(prev[m - 1])
 
 
+def _dtw_batch(windows: np.ndarray, query: np.ndarray, rho: int) -> np.ndarray:
+    """Float64 banded DTW over a (B, L) batch.  Uses the NumPy batch DP from
+    ops/dtw.py, which is unit-tested cell-exact against the scalar ``dtw_banded``
+    here (tests/test_dtw_kernels.py)."""
+    from .ops.dtw import dtw_banded_batch_f64
+    return dtw_banded_batch_f64(windows, query, rho)
+
+
 def rsm_dtw(data: np.ndarray, query: np.ndarray, epsilon: float, rho: int
             ) -> Tuple[np.ndarray, np.ndarray]:
     """RSM-DTW: banded DTW on raw values (QueryEngineDtw.java:385-452 semantics)."""
@@ -113,12 +121,17 @@ def rsm_dtw(data: np.ndarray, query: np.ndarray, epsilon: float, rho: int
     data = data.astype(np.float64)
     query = query.astype(np.float64)
     offs, dists = [], []
-    for i in range(m):
-        d2 = dtw_banded(data[i:i + L], query, rho)
-        if d2 <= epsilon * epsilon:
-            offs.append(i)
-            dists.append(np.sqrt(d2))
-    return np.asarray(offs, np.int64), np.asarray(dists)
+    chunk = max(1, int(2e6 // L))
+    for s in range(0, m, chunk):
+        ci = np.arange(s, min(s + chunk, m))
+        idx = ci[:, None] + np.arange(L)[None, :]
+        d2 = _dtw_batch(data[idx], query, rho)
+        keep = d2 <= epsilon * epsilon
+        offs.append(ci[keep])
+        dists.append(np.sqrt(d2[keep]))
+    offs = np.concatenate(offs) if offs else np.empty(0, np.int64)
+    dists = np.concatenate(dists) if dists else np.empty(0)
+    return offs.astype(np.int64), dists
 
 
 def cnsm_dtw(data: np.ndarray, query: np.ndarray, epsilon: float, rho: int,
@@ -133,19 +146,23 @@ def cnsm_dtw(data: np.ndarray, query: np.ndarray, epsilon: float, rho: int,
     std_q = np.sqrt(np.maximum((query * query).mean() - mean_q * mean_q, 0.0))
     zq = (query - mean_q) / std_q
     mean_t, std_t = sliding_mean_std(data, L)
+    ratio = np.divide(std_t, std_q)
+    ok = (std_t > 0) & (np.abs(mean_t - mean_q) <= beta) & \
+         (ratio <= alpha) & (ratio >= 1.0 / alpha)
+    cand = np.flatnonzero(ok)
     offs, dists = [], []
-    for i in range(m):
-        if std_t[i] <= 0:
-            continue
-        ratio = std_t[i] / std_q
-        if not (abs(mean_t[i] - mean_q) <= beta and 1.0 / alpha <= ratio <= alpha):
-            continue
-        zt = (data[i:i + L] - mean_t[i]) / std_t[i]
-        d2 = dtw_banded(zt, zq, rho)
-        if d2 <= epsilon * epsilon:
-            offs.append(i)
-            dists.append(np.sqrt(d2))
-    return np.asarray(offs, np.int64), np.asarray(dists)
+    chunk = max(1, int(2e6 // L))
+    for s in range(0, cand.size, chunk):
+        ci = cand[s:s + chunk]
+        idx = ci[:, None] + np.arange(L)[None, :]
+        zt = (data[idx] - mean_t[ci][:, None]) / std_t[ci][:, None]
+        d2 = _dtw_batch(zt, zq, rho)
+        keep = d2 <= epsilon * epsilon
+        offs.append(ci[keep])
+        dists.append(np.sqrt(d2[keep]))
+    offs = np.concatenate(offs) if offs else np.empty(0, np.int64)
+    dists = np.concatenate(dists) if dists else np.empty(0)
+    return offs.astype(np.int64), dists
 
 
 def dedup_overlapping(offsets: np.ndarray, distances: np.ndarray, length: int
