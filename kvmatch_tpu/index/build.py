@@ -178,16 +178,15 @@ def build_index_numpy(data: np.ndarray, cfg: IndexConfig = DEFAULT_INDEX_CONFIG)
     return build_index_from_buckets(buckets, n, cfg)
 
 
-def build_index_tpu(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
-                    chunk: Optional[int] = None, stats: Optional[dict] = None) -> Index:
-    """TPU builder: device doubling-kernel bucket pass (chunked with w-1 halos for
-    series larger than one HBM-friendly chunk), host grouping.
+def compute_buckets_tpu(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+                        chunk: Optional[int] = None,
+                        stats: Optional[dict] = None) -> Dict[int, np.ndarray]:
+    """Device doubling-kernel bucket pass, chunked with w_max-1 right halos.
 
     The halo discipline mirrors the MapReduce mapper's region-left extension
     (BuildIndexMapReduce.java:215-226): chunk c covers window starts
     [c*chunk, (c+1)*chunk) and reads w_max-1 extra points on the right.
     """
-    import jax
     import jax.numpy as jnp
     from ..ops.sliding import build_buckets
 
@@ -196,7 +195,6 @@ def build_index_tpu(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
     scales = tuple(cfg.scales)
     w_max = max(scales)
     chunk = chunk or cfg.build_chunk
-    t0 = time.perf_counter()
     device_s = 0.0
 
     parts: Dict[int, list] = {w: [] for w in scales}
@@ -214,10 +212,21 @@ def build_index_tpu(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
                 parts[w].append(out[w][:owned])
         if stop == n:
             break
-    buckets = {w: (np.concatenate(v) if len(v) > 1 else v[0]) for w, v in parts.items()}
+    if stats is not None:
+        stats["device_seconds"] = stats.get("device_seconds", 0.0) + device_s
+    return {w: (np.concatenate(v) if len(v) > 1 else v[0]) for w, v in parts.items()}
+
+
+def build_index_tpu(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+                    chunk: Optional[int] = None, stats: Optional[dict] = None) -> Index:
+    """TPU builder: device bucket pass (compute_buckets_tpu) + host grouping."""
+    data = np.asarray(data)
+    n = data.size
+    t0 = time.perf_counter()
+    buckets = compute_buckets_tpu(data, cfg, chunk, stats)
     index = build_index_from_buckets(buckets, n, cfg)
     if stats is not None:
         total = time.perf_counter() - t0
-        stats.update(build_seconds=total, device_seconds=device_s,
-                     mpts_per_second=n * len(scales) / max(total, 1e-9) / 1e6)
+        stats.update(build_seconds=total,
+                     mpts_per_second=n * len(cfg.scales) / max(total, 1e-9) / 1e6)
     return index

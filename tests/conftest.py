@@ -11,3 +11,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize imports jax and registers the axon TPU plugin
+# before conftest runs, so the env var alone is too late — force the platform
+# through the live config as well.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,100 @@
+"""Multi-device tests on the virtual 8-CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import jax
+import numpy as np
+import pytest
+
+from kvmatch_tpu import oracle
+from kvmatch_tpu.config import IndexConfig
+from kvmatch_tpu.data.generators import generate_series
+from kvmatch_tpu.engine.rsm_ed import QueryEngine
+from kvmatch_tpu.index.build import build_index_numpy, compute_buckets_tpu
+from kvmatch_tpu.parallel.build import build_index_sharded
+from kvmatch_tpu.parallel.mesh import make_mesh
+from kvmatch_tpu.parallel.query import (
+    make_dense_query_step, make_sharded_query_step, pack_bucket_stack, pack_segments)
+from kvmatch_tpu.plan import QuerySegment
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def data():
+    return generate_series(40_000, seed=13)
+
+
+def test_sharded_build_matches_single(mesh, data):
+    icfg = IndexConfig()
+    ref = build_index_numpy(data, icfg)
+    sharded, stack = build_index_sharded(data, mesh, icfg)
+    for w in icfg.scales:
+        a, b = ref[w], sharded[w]
+        np.testing.assert_array_equal(a.keys, b.keys)
+        np.testing.assert_array_equal(a.left, b.left)
+        np.testing.assert_array_equal(a.right, b.right)
+        np.testing.assert_array_equal(a.row_ptr, b.row_ptr)
+
+
+def _dense_setup(data, icfg, length):
+    import jax.numpy as jnp
+    buckets = compute_buckets_tpu(data, icfg)
+    stack = pack_bucket_stack(buckets, tuple(icfg.scales), data.size, length)
+    engine = QueryEngine(data, index=build_index_numpy(data, icfg), icfg=icfg)
+    return buckets, stack, engine
+
+
+def test_dense_single_device_no_false_dismissal(data):
+    import jax.numpy as jnp
+    icfg = IndexConfig()
+    L, eps = 512, 6.0
+    buckets, stack, engine = _dense_setup(data, icfg, L)
+    step = make_dense_query_step(icfg, L, top_k=4096)
+    q = data[9000:9000 + L]
+    # Reuse the host planner's segments (dense path takes them as data).
+    from kvmatch_tpu.engine.base import _Ctx, QueryStats
+    ctx = _Ctx(query=q, length=L, epsilon=eps, eps2=eps * eps, params={},
+               stats=QueryStats())
+    segs = pack_segments(engine._plan(ctx), tuple(icfg.scales))
+    count, idx, d2 = step(jnp.asarray(data, jnp.float32), jnp.asarray(stack),
+                          jnp.asarray(q, jnp.float32), segs, jnp.float32(eps * eps))
+    count = int(count)
+    assert count <= 4096
+    got = np.asarray(idx)[np.asarray(d2) <= eps * eps * (1 + 1e-3)]
+    oo, _ = oracle.rsm_ed(data, q, eps)
+    assert set(oo.tolist()) <= set(got.tolist())  # no false dismissal
+    assert 9000 in got.tolist()
+
+
+def test_sharded_query_matches_oracle(mesh, data):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    icfg = IndexConfig()
+    L, eps = 512, 6.0
+    index, stack = build_index_sharded(data, mesh, icfg)
+    engine = QueryEngine(data, index=index, icfg=icfg)
+    q = data[21000:21000 + L]
+    from kvmatch_tpu.engine.base import _Ctx, QueryStats
+    ctx = _Ctx(query=q, length=L, epsilon=eps, eps2=eps * eps, params={},
+               stats=QueryStats())
+    segs = pack_segments(engine._plan(ctx), tuple(icfg.scales))
+
+    n_sh = mesh.devices.size
+    pad = (-data.size) % n_sh
+    padded = np.concatenate([data, np.zeros(pad)]) if pad else data
+    data_sh = jax.device_put(padded.astype(np.float32), NamedSharding(mesh, P("shard")))
+    step = make_sharded_query_step(mesh, icfg, L, top_k=512)
+    total, idx, d2 = step(data_sh, stack, jnp.asarray(q, jnp.float32), segs,
+                          jnp.float32(eps * eps), jnp.int32(data.size))
+    idx, d2 = np.asarray(idx).ravel(), np.asarray(d2).ravel()
+    got = idx[d2 <= eps * eps * (1 + 1e-3)]
+    oo, _ = oracle.rsm_ed(data, q, eps)
+    assert set(oo.tolist()) <= set(got.tolist())
+    # and nothing outside the exact answer set once confirmed in f64
+    exact = [int(i) for i in got
+             if np.sum((data[i:i + L] - q) ** 2) <= eps * eps]
+    assert set(exact) == set(oo.tolist())
