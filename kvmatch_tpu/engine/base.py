@@ -239,6 +239,54 @@ class BaseEngine:
         stats.t_total_ms = (time.perf_counter() - t0) * 1e3
         return QueryResult(offsets=ans_off, distances=ans_dist, stats=stats)
 
+    # ------------------------------------------------------------ batched driver
+    def query_batch(self, queries: np.ndarray, epsilon, **params) -> List[QueryResult]:
+        """Throughput path: run phases 0/1 per query on the host, then verify ALL
+        queries' candidates in shared device launches (one padded batch stream
+        instead of one launch per query).  ``queries`` is (Q, L); ``epsilon`` may
+        be a scalar or per-query array.  Returns one QueryResult per query."""
+        queries = np.atleast_2d(np.asarray(queries, np.float64))
+        nq = queries.shape[0]
+        eps = np.broadcast_to(np.asarray(epsilon, np.float64), (nq,))
+        ctxs: List[_Ctx] = []
+        cand_offs: List[np.ndarray] = []
+        t0 = time.perf_counter()
+        for qi in range(nq):
+            ctx = _Ctx(query=queries[qi], length=queries.shape[1],
+                       epsilon=float(eps[qi]), eps2=float(eps[qi]) ** 2,
+                       params=dict(params), stats=QueryStats())
+            segments = self._plan(ctx)
+            cs, last_segment = self._phase1(segments, ctx)
+            if cs["left"].size:
+                base = (last_segment - 1) * self.icfg.unit
+                offs = iv.expand_offsets(cs) - base
+                offs = offs[(offs >= 0) & (offs <= self.n - ctx.length)]
+            else:
+                offs = np.empty(0, np.int64)
+            ctx.stats.n_candidates = int(offs.size)
+            ctxs.append(ctx)
+            cand_offs.append(offs)
+        t_verify = time.perf_counter()
+        per_query = self._verify_multi(cand_offs, ctxs)
+        t_end = time.perf_counter()
+        results = []
+        for qi, (ans_off, ans_dist) in enumerate(per_query):
+            order = np.argsort(ans_dist, kind="stable")
+            stats = ctxs[qi].stats
+            stats.n_answers = int(ans_off.size)
+            stats.t_phase2_ms = (t_end - t_verify) * 1e3 / nq
+            stats.t_total_ms = (t_end - t0) * 1e3 / nq
+            results.append(QueryResult(offsets=ans_off[order],
+                                       distances=ans_dist[order], stats=stats))
+        return results
+
+    def _verify_multi(self, cand_offs: List[np.ndarray], ctxs: List[_Ctx]):
+        """Default: per-query verification (engines override with a fused
+        multi-query device path)."""
+        return [self._verify(offs, ctx) if offs.size else
+                (np.empty(0, np.int64), np.empty(0))
+                for offs, ctx in zip(cand_offs, ctxs)]
+
     def query_at(self, offset: int, length: int, epsilon: float, **params) -> QueryResult:
         """Self-query convenience: extract Q = data[offset : offset+length] first
         (the reference's query(statistics, offset, length, ...) overload,

@@ -33,20 +33,8 @@ class NormQueryEngineDtw(NormQueryEngine):
         env_lo, env_hi = envelope(q, rho)
         sums_lo = unit_sums(env_lo, self.icfg.unit)
         sums_hi = unit_sums(env_hi, self.icfg.unit)
-        norm = self._cost_normalizer()
-
-        def cost_fn(l: int, r: int, mean_lo: float, mean_hi: float) -> Tuple[float, int]:
-            w = self.icfg.unit * (r - l + 1)
-            sc = self.index[w]
-            b, e = self._probe_bounds(mean_lo, mean_hi, w, ctx)
-            b = float(rounding.to_round(b, self.icfg.pos_of_d))
-            e = float(rounding.to_round(e, self.icfg.pos_of_d))
-            cnt_i, _ = sc.counts_between(b, e)
-            log_cost = math.log(cnt_i / norm) if cnt_i > 0 else -math.inf
-            return log_cost, cnt_i
-
-        return determine_query_plan(ctx.length, sums_lo, sums_hi, cost_fn,
-                                    self.icfg, self.qcfg)
+        return determine_query_plan(ctx.length, sums_lo, sums_hi,
+                                    self._cost_batch(ctx), self.icfg, self.qcfg)
 
     # ---------------------------------------------------------------- phase 2
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:

@@ -48,10 +48,12 @@ class NormQueryEngine(BaseEngine):
         beta = ctx.params["beta"]
         mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
         r = ctx.epsilon * sd_q / math.sqrt(w)
-        lo = min((1.0 / alpha) * mean_lo + (1 - 1.0 / alpha) * mu_q - beta - r / alpha,
-                 alpha * mean_lo + (1 - alpha) * mu_q - beta - alpha * r)
-        hi = max(alpha * mean_hi + (1 - alpha) * mu_q + beta + alpha * r,
-                 (1.0 / alpha) * mean_hi + (1 - 1.0 / alpha) * mu_q + beta + r / alpha)
+        lo = np.minimum(
+            (1.0 / alpha) * mean_lo + (1 - 1.0 / alpha) * mu_q - beta - r / alpha,
+            alpha * mean_lo + (1 - alpha) * mu_q - beta - alpha * r)
+        hi = np.maximum(
+            alpha * mean_hi + (1 - alpha) * mu_q + beta + alpha * r,
+            (1.0 / alpha) * mean_hi + (1 - 1.0 / alpha) * mu_q + beta + r / alpha)
         return lo, hi
 
     def _beta_partitions(self, mean_lo: float, mean_hi: float, w: int,
@@ -79,25 +81,29 @@ class NormQueryEngine(BaseEngine):
         return begin, end
 
     # ---------------------------------------------------------------- phase 0
+    def _cost_batch(self, ctx: _Ctx):
+        norm = self._cost_normalizer()
+        pos_of_d = self.icfg.pos_of_d
+
+        def cost_batch(w, mean_lo, mean_hi):
+            sc = self.index[w]
+            b, e = self._probe_bounds(mean_lo, mean_hi, w, ctx)
+            b = rounding.to_round(b, pos_of_d)
+            e = rounding.to_round(e, pos_of_d)
+            cnt_i, _ = sc.counts_between_batch(np.atleast_1d(b), np.atleast_1d(e))
+            with np.errstate(divide="ignore"):
+                log_cost = np.log(cnt_i / norm)
+            return log_cost, cnt_i
+
+        return cost_batch
+
     def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
         q = ctx.query
         mu_q = float(q.mean())
         sd_q = float(np.sqrt(max(np.mean(q * q) - mu_q * mu_q, 0.0)))
         ctx.params["_mu_q"], ctx.params["_sd_q"] = mu_q, sd_q
         sums = unit_sums(q, self.icfg.unit)
-        norm = self._cost_normalizer()
-
-        def cost_fn(l: int, r: int, mean_lo: float, mean_hi: float) -> Tuple[float, int]:
-            w = self.icfg.unit * (r - l + 1)
-            sc = self.index[w]
-            b, e = self._probe_bounds(mean_lo, mean_hi, w, ctx)
-            b = float(rounding.to_round(b, self.icfg.pos_of_d))
-            e = float(rounding.to_round(e, self.icfg.pos_of_d))
-            cnt_i, _ = sc.counts_between(b, e)
-            log_cost = math.log(cnt_i / norm) if cnt_i > 0 else -math.inf
-            return log_cost, cnt_i
-
-        return determine_query_plan(ctx.length, sums, sums, cost_fn,
+        return determine_query_plan(ctx.length, sums, sums, self._cost_batch(ctx),
                                     self.icfg, self.qcfg)
 
     # ---------------------------------------------------------------- phase 1
@@ -189,31 +195,54 @@ class NormQueryEngine(BaseEngine):
         return keep
 
     # ---------------------------------------------------------------- phase 2
-    def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
+    def _verify_multi(self, cand_offs, ctxs):
         import jax.numpy as jnp
+        from ..ops.ed import znorm_ed_distances_multi
+        L = ctxs[0].length
+        counts = [o.size for o in cand_offs]
+        total = int(sum(counts))
+        if total == 0:
+            return [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
+        offsets = np.concatenate(cand_offs)
+        qids = np.repeat(np.arange(len(ctxs), dtype=np.int32), counts)
+        qhats = np.stack([(c.query - c.params["_mu_q"]) / c.params["_sd_q"]
+                          for c in ctxs])
+        qm = jnp.asarray(qhats, jnp.float32)
+        data_dev = self.data_dev
+        batch = self.qcfg.verify_batch
+
+        d2 = np.empty(total, np.float32)
+        mu = np.empty(total, np.float32)
+        sd = np.empty(total, np.float32)
+        po = vf.pad_batches(offsets.astype(np.int32), batch)
+        pq = vf.pad_batches(qids, batch)
+        for s in range(0, po.size, batch):
+            o_d2, o_mu, o_sd = znorm_ed_distances_multi(
+                data_dev, qm, po[s:s + batch], pq[s:s + batch], L)
+            e = min(s + batch, total)
+            d2[s:e] = np.asarray(o_d2)[: e - s]
+            mu[s:e] = np.asarray(o_mu)[: e - s]
+            sd[s:e] = np.asarray(o_sd)[: e - s]
+
+        results = []
+        start = 0
+        for qi, ctx in enumerate(ctxs):
+            cnt = counts[qi]
+            sl = slice(start, start + cnt)
+            start += cnt
+            results.append(self._confirm_znorm(
+                cand_offs[qi], d2[sl], mu[sl], sd[sl], ctx))
+        return results
+
+    def _confirm_znorm(self, offsets, d2, mu, sd, ctx: _Ctx):
+        """Guarded device pre-filter -> exact float64 host confirmation."""
+        if offsets.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
         alpha = ctx.params["alpha"]
         beta = ctx.params["beta"]
         mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
-        q_hat = (ctx.query - mu_q) / sd_q
-        q32 = jnp.asarray(q_hat, jnp.float32)
-        data_dev = self.data_dev
         L = ctx.length
-
-        def kernel(offs):
-            return znorm_ed_distances(data_dev, q32, offs, L)
-
-        m = offsets.size
-        padded = vf.pad_batches(offsets.astype(np.int32), self.qcfg.verify_batch)
-        d2s, means, stds = [], [], []
-        for s in range(0, padded.size, self.qcfg.verify_batch):
-            d2, mu, sd = kernel(padded[s:s + self.qcfg.verify_batch])
-            d2s.append(np.asarray(d2)); means.append(np.asarray(mu)); stds.append(np.asarray(sd))
-        d2 = np.concatenate(d2s)[:m]
-        mu = np.concatenate(means)[:m]
-        sd = np.concatenate(stds)[:m]
-        ctx.stats.n_device_checked = int(m)
-
-        # Guarded constraint + distance pre-filter on device results.
+        ctx.stats.n_device_checked = int(offsets.size)
         cg = 1e-3 * (1.0 + np.abs(mu_q) + sd_q)
         ratio = sd / sd_q
         ok = (np.abs(mu - mu_q) <= beta + cg) & (ratio <= alpha + cg) & \
@@ -223,7 +252,7 @@ class NormQueryEngine(BaseEngine):
         ctx.stats.n_host_rechecked = int(near.size)
         if near.size == 0:
             return np.empty(0, np.int64), np.empty(0)
-        # Exact float64 confirmation.
+        q_hat = (ctx.query - mu_q) / sd_q
         idx = near[:, None] + np.arange(L)[None, :]
         x = self.data[idx]
         mu_h = x.mean(axis=1)
@@ -237,3 +266,20 @@ class NormQueryEngine(BaseEngine):
         d2h = np.einsum("ij,ij->i", diff, diff)
         keep = ok_h & (d2h <= ctx.eps2)
         return near[keep], np.sqrt(d2h[keep])
+
+    def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+        mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
+        q32 = jnp.asarray((ctx.query - mu_q) / sd_q, jnp.float32)
+        data_dev = self.data_dev
+        L = ctx.length
+        batch = self.qcfg.verify_batch
+        m = offsets.size
+        padded = vf.pad_batches(offsets.astype(np.int32), batch)
+        d2s, means, stds = [], [], []
+        for s in range(0, padded.size, batch):
+            d2, mu, sd = znorm_ed_distances(data_dev, q32, padded[s:s + batch], L)
+            d2s.append(np.asarray(d2)); means.append(np.asarray(mu)); stds.append(np.asarray(sd))
+        return self._confirm_znorm(offsets, np.concatenate(d2s)[:m],
+                                   np.concatenate(means)[:m],
+                                   np.concatenate(stds)[:m], ctx)

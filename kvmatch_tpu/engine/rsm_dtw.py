@@ -31,20 +31,8 @@ class QueryEngineDtw(QueryEngine):
         env_lo, env_hi = envelope(ctx.query, rho)
         sums_lo = unit_sums(env_lo, self.icfg.unit)
         sums_hi = unit_sums(env_hi, self.icfg.unit)
-        norm = self._cost_normalizer()
-
-        def cost_fn(l: int, r: int, mean_lo: float, mean_hi: float) -> Tuple[float, int]:
-            w = self.icfg.unit * (r - l + 1)
-            sc = self.index[w]
-            rng = ctx.epsilon / math.sqrt(w)
-            b = float(rounding.to_round(mean_lo - rng, self.icfg.pos_of_d))
-            e = float(rounding.to_round(mean_hi + rng, self.icfg.pos_of_d))
-            cnt_i, _ = sc.counts_between(b, e)
-            log_cost = math.log(cnt_i / norm) if cnt_i > 0 else -math.inf
-            return log_cost, cnt_i
-
-        return determine_query_plan(ctx.length, sums_lo, sums_hi, cost_fn,
-                                    self.icfg, self.qcfg)
+        return determine_query_plan(ctx.length, sums_lo, sums_hi,
+                                    self._cost_batch(ctx), self.icfg, self.qcfg)
 
     # ---------------------------------------------------------------- phase 1
     def _scan(self, seg: QuerySegment, ctx: _Ctx):

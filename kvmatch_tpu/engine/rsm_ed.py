@@ -23,21 +23,27 @@ class QueryEngine(BaseEngine):
     payloads = ("eps",)
 
     # ---------------------------------------------------------------- phase 0
-    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
-        sums = unit_sums(ctx.query, self.icfg.unit)
+    def _cost_batch(self, ctx: _Ctx):
+        """Vectorized DP cost: #index intervals with key in the segment's plain
+        probe range (getCost/getCountsFromStatisticInfo, QueryEngine.java:382-422)."""
         norm = self._cost_normalizer()
+        pos_of_d = self.icfg.pos_of_d
 
-        def cost_fn(l: int, r: int, mean_lo: float, mean_hi: float) -> Tuple[float, int]:
-            w = self.icfg.unit * (r - l + 1)
+        def cost_batch(w, mean_lo, mean_hi):
             sc = self.index[w]
             rng = ctx.epsilon / math.sqrt(w)
-            b = float(rounding.to_round(mean_lo - rng, self.icfg.pos_of_d))
-            e = float(rounding.to_round(mean_hi + rng, self.icfg.pos_of_d))
-            cnt_i, _ = sc.counts_between(b, e)
-            log_cost = math.log(cnt_i / norm) if cnt_i > 0 else -math.inf
+            b = rounding.to_round(mean_lo - rng, pos_of_d)
+            e = rounding.to_round(mean_hi + rng, pos_of_d)
+            cnt_i, _ = sc.counts_between_batch(b, e)
+            with np.errstate(divide="ignore"):
+                log_cost = np.log(cnt_i / norm)
             return log_cost, cnt_i
 
-        return determine_query_plan(ctx.length, sums, sums, cost_fn,
+        return cost_batch
+
+    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+        sums = unit_sums(ctx.query, self.icfg.unit)
+        return determine_query_plan(ctx.length, sums, sums, self._cost_batch(ctx),
                                     self.icfg, self.qcfg)
 
     # ---------------------------------------------------------------- phase 1
@@ -75,6 +81,51 @@ class QueryEngine(BaseEngine):
         def run(query_f32, offs):
             return ed_distances(data_dev, query_f32, offs, length)
         return run
+
+    def _verify_multi(self, cand_offs, ctxs):
+        """Fused multi-query verification: one padded device batch stream over the
+        concatenated candidates of the whole query batch."""
+        import jax.numpy as jnp
+        from ..ops.ed import ed_distances_multi
+        L = ctxs[0].length
+        counts = [o.size for o in cand_offs]
+        total = int(sum(counts))
+        if total == 0:
+            return [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
+        offsets = np.concatenate(cand_offs)
+        qids = np.repeat(np.arange(len(ctxs), dtype=np.int32), counts)
+        qm = jnp.asarray(np.stack([c.query for c in ctxs]), jnp.float32)
+        data_dev = self.data_dev
+        batch = self.qcfg.verify_batch
+
+        d2 = np.empty(total, np.float32)
+        po = vf.pad_batches(offsets.astype(np.int32), batch)
+        pq = vf.pad_batches(qids, batch)
+        for s in range(0, po.size, batch):
+            out = ed_distances_multi(data_dev, qm, po[s:s + batch], pq[s:s + batch], L)
+            e = min(s + batch, total)
+            d2[s:e] = np.asarray(out)[: e - s]
+
+        results = []
+        start = 0
+        for qi, ctx in enumerate(ctxs):
+            cnt = counts[qi]
+            off_q = cand_offs[qi]
+            d2_q = d2[start:start + cnt]
+            start += cnt
+            ctx.stats.n_device_checked = cnt
+            thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, L, self.qcfg.verify_guard)
+            near = off_q[d2_q <= thresh]
+            ctx.stats.n_host_rechecked = int(near.size)
+            if near.size == 0:
+                results.append((np.empty(0, np.int64), np.empty(0)))
+                continue
+            idx = near[:, None] + np.arange(L)[None, :]
+            diff = self.data[idx] - ctx.query[None, :]
+            d2h = np.einsum("ij,ij->i", diff, diff)
+            keep = d2h <= ctx.eps2
+            results.append((near[keep], np.sqrt(d2h[keep])))
+        return results
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp

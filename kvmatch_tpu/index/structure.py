@@ -75,6 +75,23 @@ class IndexScale:
         hi_o = int(self.cum_offsets[i1]) if i1 > 0 else 0
         return hi_i - lo_i, hi_o - lo_o
 
+    def counts_between_batch(self, begin_round: np.ndarray, end_round: np.ndarray
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized counts_between over arrays of probe bounds — feeds the
+        planner's whole cost table in a few searchsorted calls."""
+        keys = self.keys
+        m = begin_round.size
+        if keys.size == 0:
+            z = np.zeros(m, np.int64)
+            return z, z
+        i0 = np.minimum(np.searchsorted(keys, begin_round, side="left"), keys.size - 1)
+        lo_i = np.where(i0 > 0, self.cum_intervals[np.maximum(i0 - 1, 0)], 0)
+        lo_o = np.where(i0 > 0, self.cum_offsets[np.maximum(i0 - 1, 0)], 0)
+        i1 = np.minimum(np.searchsorted(keys, end_round, side="left"), keys.size - 1)
+        hi_i = np.where(i1 > 0, self.cum_intervals[i1], 0)
+        hi_o = np.where(i1 > 0, self.cum_offsets[i1], 0)
+        return hi_i - lo_i, hi_o - lo_o
+
     def probe_rows(self, begin_key: float, end_key: float) -> np.ndarray:
         """Indices of rows whose key lies in [begin_key, end_key] (inclusive).
 

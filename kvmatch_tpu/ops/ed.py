@@ -41,6 +41,36 @@ def ed_distances(data: jnp.ndarray, query: jnp.ndarray, offsets: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("length",))
+def ed_distances_multi(data: jnp.ndarray, queries: jnp.ndarray,
+                       offsets: jnp.ndarray, qids: jnp.ndarray,
+                       length: int) -> jnp.ndarray:
+    """Raw squared distances for candidates belonging to *different* queries:
+    one launch serves a whole query batch (queries: (Q, L), qids: (B,))."""
+    x = _gather_windows(data, offsets, length)
+    diff = x - queries[qids]
+    return jnp.sum(diff * diff, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def znorm_ed_distances_multi(data: jnp.ndarray, queries_hat: jnp.ndarray,
+                             offsets: jnp.ndarray, qids: jnp.ndarray,
+                             length: int):
+    """Batched z-normalized distances across a query batch; returns
+    (d2, mean, std) like znorm_ed_distances."""
+    x = _gather_windows(data, offsets, length)
+    inv_l = np.float32(1.0 / length)
+    mean = jnp.sum(x, axis=1) * inv_l
+    centered = x - mean[:, None]
+    var = jnp.sum(centered * centered, axis=1) * inv_l
+    std = jnp.sqrt(var)
+    safe = jnp.where(std > 0, std, 1.0)
+    zdiff = centered / safe[:, None] - queries_hat[qids]
+    d2 = jnp.sum(zdiff * zdiff, axis=1)
+    d2 = jnp.where(std > 0, d2, jnp.inf)
+    return d2, mean, std
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
 def znorm_ed_distances(data: jnp.ndarray, query_hat: jnp.ndarray,
                        offsets: jnp.ndarray, length: int):
     """Z-normalized squared distances + window mean/std for a candidate batch.

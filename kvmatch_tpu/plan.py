@@ -58,80 +58,83 @@ def envelope(query: np.ndarray, radius: int) -> Tuple[np.ndarray, np.ndarray]:
     return win.min(axis=1), win.max(axis=1)
 
 
-# cost_fn(l, r, sum_lo, sum_hi) -> (log_cost, interval_count); l..r inclusive unit
-# windows, sum_lo/sum_hi the segment's mean bounds already divided by width.
-CostFn = Callable[[int, int, float, float], Tuple[float, int]]
+# cost_batch_fn(w, mean_lo[], mean_hi[]) -> (log_cost[], interval_count[]) for all
+# segments of width w at unit starts 0..m-k, fully vectorized.
+CostBatchFn = Callable[[int, np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]]
 
 
 def determine_query_plan(
     length: int,
     sums_lo: np.ndarray,
     sums_hi: np.ndarray,
-    cost_fn: CostFn,
+    cost_batch_fn: CostBatchFn,
     icfg: IndexConfig,
     qcfg: QueryConfig,
 ) -> List[QuerySegment]:
     """DP segmentation; ``sums_lo``/``sums_hi`` are per-unit-window sums of the lower
-    and upper mean tracks (equal for ED).  Mirrors QueryEngine.java:438-500."""
+    and upper mean tracks (equal for ED).  Semantics mirror QueryEngine.java:438-500;
+    the cost table and the DP transitions are evaluated as whole-array NumPy ops
+    (the reference's per-(l,r) getCost cache becomes one batch call per scale)."""
     unit = icfg.unit
     m = sums_lo.size
     max_j = min(m, qcfg.max_segments)
     enabled_k = [k for k in range(1, len(icfg.wu_list) + 1)
-                 if icfg.wu_enabled[k - 1] and icfg.wu_list[k - 1] == unit * k]
+                 if icfg.wu_enabled[k - 1] and icfg.wu_list[k - 1] == unit * k
+                 and k <= m]
 
     pre_lo = np.concatenate(([0.0], np.cumsum(sums_lo)))
     pre_hi = np.concatenate(([0.0], np.cumsum(sums_hi)))
 
+    # Per-scale cost arrays over all valid starts.
+    means_lo, means_hi, costs, counts = {}, {}, {}, {}
+    for k in enabled_k:
+        w = unit * k
+        mlo = (pre_lo[k:] - pre_lo[:m - k + 1]) / w
+        mhi = (pre_hi[k:] - pre_hi[:m - k + 1]) / w
+        c, cnt = cost_batch_fn(w, mlo, mhi)
+        means_lo[k], means_hi[k], costs[k], counts[k] = mlo, mhi, c, cnt
+
     INF = float("inf")
-    dp = np.full((m + 1, max_j + 1), INF)
-    pre = np.full((m + 1, max_j + 1), -1, np.int64)
+    dp = np.full((max_j + 1, m + 1), INF)
+    pre = np.full((max_j + 1, m + 1), -1, np.int64)
     dp[0, 0] = 0.0
-    cost_cache: dict = {}
+    for j in range(1, max_j + 1):
+        best = np.full(m + 1, INF)
+        best_k = np.full(m + 1, -1, np.int64)
+        for k in enabled_k:
+            # segment covers units [i-k, i-1] -> ends at i in [k, m]
+            base = dp[j - 1, : m - k + 1]
+            with np.errstate(invalid="ignore"):
+                cand = np.where(np.isfinite(base),
+                                ((j - 1) * base + costs[k]) / j, INF)
+            cur = best[k:]
+            better = cand < cur
+            best[k:] = np.where(better, cand, cur)
+            best_k[k:] = np.where(better, k, best_k[k:])
+        dp[j] = best
+        pre[j] = best_k
 
-    def seg_cost(l: int, r: int) -> Tuple[float, int]:
-        key = (l, r)
-        if key not in cost_cache:
-            w = unit * (r - l + 1)
-            mean_lo = (pre_lo[r + 1] - pre_lo[l]) / w
-            mean_hi = (pre_hi[r + 1] - pre_hi[l]) / w
-            cost_cache[key] = cost_fn(l, r, mean_lo, mean_hi)
-        return cost_cache[key]
-
-    for i in range(1, m + 1):
-        for j in range(1, min(i, max_j) + 1):
-            best, best_k = INF, -1
-            for k in enabled_k:
-                if i - k < 0 or dp[i - k, j - 1] == INF:
-                    continue
-                c, _ = seg_cost(i - k, i - 1)
-                tmp = ((j - 1) * dp[i - k, j - 1] + c) / j
-                if tmp < best:
-                    best, best_k = tmp, k
-            dp[i, j] = best
-            pre[i, j] = best_k
-
-    # Minimum segment count: (floor(log2 L) - 1) // 2  (QueryEngine.java:480).
+    # Minimum segment count: (floor(log2 L) - 1) // 2  (QueryEngine.java:480);
+    # ties prefer more segments (<=, QueryEngine.java:481).
     j_lo = max(1, (int(math.floor(math.log2(length))) - 1) // 2)
-    best, p = INF, -1
+    best_v, p = INF, -1
     for j in range(j_lo, max_j + 1):
-        if dp[m, j] <= best:
-            best, p = dp[m, j], j
-    if p < 0:  # fall back to any feasible plan
+        if dp[j, m] <= best_v:
+            best_v, p = dp[j, m], j
+    if p < 0 or not np.isfinite(dp[p, m]):
         for j in range(1, max_j + 1):
-            if dp[m, j] < INF:
-                best, p = dp[m, j], j
+            if np.isfinite(dp[j, m]):
+                best_v, p = dp[j, m], j
                 break
     segments: List[QuerySegment] = []
     index, j = m, p
-    while index > 0 and j > 0 and pre[index, j] > 0:
-        k = int(pre[index, j])
-        l, r = index - k, index - 1
-        w = unit * k
-        mean_lo = (pre_lo[r + 1] - pre_lo[l]) / w
-        mean_hi = (pre_hi[r + 1] - pre_hi[l]) / w
-        _, cnt = seg_cost(l, r)
-        segments.append(QuerySegment(order=l + 1, w=w, mean_lo=mean_lo,
-                                     mean_hi=mean_hi, count=cnt))
+    while index > 0 and j > 0 and pre[j, index] > 0:
+        k = int(pre[j, index])
+        l = index - k
+        segments.append(QuerySegment(order=l + 1, w=unit * k,
+                                     mean_lo=float(means_lo[k][l]),
+                                     mean_hi=float(means_hi[k][l]),
+                                     count=int(counts[k][l])))
         index -= k
         j -= 1
     segments.reverse()

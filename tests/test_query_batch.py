@@ -1,0 +1,59 @@
+"""query_batch must agree with per-query results (fused multi-query verify)."""
+
+import numpy as np
+import pytest
+
+from kvmatch_tpu.config import IndexConfig
+from kvmatch_tpu.data.generators import generate_series
+from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+from kvmatch_tpu.engine.rsm_ed import QueryEngine
+from kvmatch_tpu.index.build import build_index_tpu
+
+N = 40_000
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = generate_series(N, seed=17)
+    icfg = IndexConfig()
+    index = build_index_tpu(data, icfg)
+    return data, index, icfg
+
+
+def test_rsm_ed_batch_matches_single(setup):
+    data, index, icfg = setup
+    engine = QueryEngine(data, index=index, icfg=icfg)
+    L = 512
+    offs = [1000, 7000, 15000, 22000, 30000]
+    queries = np.stack([data[o:o + L] for o in offs])
+    batch = engine.query_batch(queries, 6.0)
+    assert len(batch) == len(offs)
+    for o, res in zip(offs, batch):
+        single = engine.query_at(o, L, 6.0)
+        assert set(res.offsets.tolist()) == set(single.offsets.tolist())
+        assert o in res.offsets.tolist()
+
+
+def test_norm_ed_batch_matches_single(setup):
+    data, index, icfg = setup
+    engine = NormQueryEngine(data, index=index, icfg=icfg)
+    L = 400
+    offs = [2000, 11000, 26000]
+    queries = np.stack([data[o:o + L] for o in offs])
+    batch = engine.query_batch(queries, 3.0, alpha=1.5, beta=15.0)
+    for o, res in zip(offs, batch):
+        single = engine.query_at(o, L, 3.0, alpha=1.5, beta=15.0)
+        assert set(res.offsets.tolist()) == set(single.offsets.tolist())
+        assert o in res.offsets.tolist()
+
+
+def test_batch_per_query_epsilon(setup):
+    data, index, icfg = setup
+    engine = QueryEngine(data, index=index, icfg=icfg)
+    L = 256
+    offs = [3000, 9000]
+    queries = np.stack([data[o:o + L] for o in offs])
+    batch = engine.query_batch(queries, np.array([2.0, 8.0]))
+    for o, eps, res in zip(offs, [2.0, 8.0], batch):
+        single = engine.query_at(o, L, eps)
+        assert set(res.offsets.tolist()) == set(single.offsets.tolist())
