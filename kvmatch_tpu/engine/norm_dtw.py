@@ -42,6 +42,9 @@ class NormQueryEngineDtw(NormQueryEngine):
         import jax.numpy as jnp
         from ..ops.ed import _gather_windows
 
+        offsets = self._constraint_prefilter(offsets, ctx)
+        if offsets.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
         rho = ctx.params["rho"]
         alpha = ctx.params["alpha"]
         beta = ctx.params["beta"]

@@ -125,10 +125,16 @@ class NormQueryEngine(BaseEngine):
         ex_up = hi * k_units
         ex2_lo = np.where(lo > 0, lo * lo, np.where(hi < 0, hi * hi, 0.0)) * k_units
         ex2_up = np.maximum(lo * lo, hi * hi) * k_units
-        # Beta-partition bitmask per row.
+        # Beta-partition bitmask per row.  Like the probe range itself, partition
+        # lower bounds must be snapped DOWN to an existing index key
+        # (MeanIntervalUtils.toRound with statisticInfo, NormQueryEngine.java:247)
+        # — otherwise the variable-width row covering the range start would fall
+        # outside every partition and its candidates would carry an empty mask.
         pb, pe = self._beta_partitions(seg.mean_lo, seg.mean_hi, seg.w, ctx)
+        pb = rounding.snap_down(pb - guard, sc.keys, self.icfg.pos_of_d)
+        pe = rounding.to_round(pe + guard, self.icfg.pos_of_d)
         key = sc.keys[rows]
-        inside = (pb[None, :] - guard <= key[:, None]) & (key[:, None] <= pe[None, :] + guard)
+        inside = (pb[None, :] <= key[:, None]) & (key[:, None] <= pe[None, :])
         bits = (inside.astype(np.uint64) << np.arange(pb.size, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64)
         rep_rows, left, right = self._gather_rows(sc, rows)
@@ -195,10 +201,44 @@ class NormQueryEngine(BaseEngine):
         return keep
 
     # ---------------------------------------------------------------- phase 2
+    def _cumsums(self):
+        """Cached float64 prefix sums of data and data^2 — O(1) window mean/std
+        for any offset/length (the vectorized form of the reference's running
+        ex/ex2 accumulators, NormQueryEngine.java:487-524)."""
+        if not hasattr(self, "_c1"):
+            self._c1 = np.concatenate(([0.0], np.cumsum(self.data)))
+            self._c2 = np.concatenate(([0.0], np.cumsum(self.data * self.data)))
+        return self._c1, self._c2
+
+    def _constraint_prefilter(self, offsets: np.ndarray, ctx: _Ctx) -> np.ndarray:
+        """Drop candidates violating the mean/std constraints BEFORE any window
+        gather: the constraint needs only two prefix-sum lookups per offset, so
+        testing it first collapses the cNSM verify cost when alpha/beta are the
+        binding filters.  A ~1e-9 relative slack absorbs cumsum rounding; the
+        exact per-window confirmation still happens in _confirm_znorm."""
+        if offsets.size == 0:
+            return offsets
+        alpha = ctx.params["alpha"]
+        beta = ctx.params["beta"]
+        mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
+        L = ctx.length
+        c1, c2 = self._cumsums()
+        s1 = c1[offsets + L] - c1[offsets]
+        mean = s1 / L
+        var = np.maximum((c2[offsets + L] - c2[offsets]) / L - mean * mean, 0.0)
+        std = np.sqrt(var)
+        g = 1e-9 * (1.0 + np.abs(mu_q) + sd_q) + 1e-12 * np.abs(mean)
+        keep = (np.abs(mean - mu_q) <= beta + g) & \
+               (std <= alpha * sd_q * (1 + 1e-9) + g) & \
+               (std >= sd_q / alpha * (1 - 1e-9) - g) & (std > 0)
+        return offsets[keep]
+
     def _verify_multi(self, cand_offs, ctxs):
         import jax.numpy as jnp
         from ..ops.ed import znorm_ed_distances_multi
         L = ctxs[0].length
+        cand_offs = [self._constraint_prefilter(o, c)
+                     for o, c in zip(cand_offs, ctxs)]
         counts = [o.size for o in cand_offs]
         total = int(sum(counts))
         if total == 0:
@@ -209,20 +249,11 @@ class NormQueryEngine(BaseEngine):
                           for c in ctxs])
         qm = jnp.asarray(qhats, jnp.float32)
         data_dev = self.data_dev
-        batch = self.qcfg.verify_batch
 
-        d2 = np.empty(total, np.float32)
-        mu = np.empty(total, np.float32)
-        sd = np.empty(total, np.float32)
-        po = vf.pad_batches(offsets.astype(np.int32), batch)
-        pq = vf.pad_batches(qids, batch)
-        for s in range(0, po.size, batch):
-            o_d2, o_mu, o_sd = znorm_ed_distances_multi(
-                data_dev, qm, po[s:s + batch], pq[s:s + batch], L)
-            e = min(s + batch, total)
-            d2[s:e] = np.asarray(o_d2)[: e - s]
-            mu[s:e] = np.asarray(o_mu)[: e - s]
-            sd[s:e] = np.asarray(o_sd)[: e - s]
+        d2, mu, sd = vf.run_bucketed(
+            lambda o, q: znorm_ed_distances_multi(data_dev, qm, o, q, L),
+            total, offsets.astype(np.int32), qids,
+            lo=self.qcfg.verify_batch)
 
         results = []
         start = 0
@@ -269,17 +300,15 @@ class NormQueryEngine(BaseEngine):
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp
+        offsets = self._constraint_prefilter(offsets, ctx)
+        if offsets.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
         mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
         q32 = jnp.asarray((ctx.query - mu_q) / sd_q, jnp.float32)
         data_dev = self.data_dev
         L = ctx.length
-        batch = self.qcfg.verify_batch
-        m = offsets.size
-        padded = vf.pad_batches(offsets.astype(np.int32), batch)
-        d2s, means, stds = [], [], []
-        for s in range(0, padded.size, batch):
-            d2, mu, sd = znorm_ed_distances(data_dev, q32, padded[s:s + batch], L)
-            d2s.append(np.asarray(d2)); means.append(np.asarray(mu)); stds.append(np.asarray(sd))
-        return self._confirm_znorm(offsets, np.concatenate(d2s)[:m],
-                                   np.concatenate(means)[:m],
-                                   np.concatenate(stds)[:m], ctx)
+        d2, mu, sd = vf.run_bucketed(
+            lambda o: znorm_ed_distances(data_dev, q32, o, L),
+            offsets.size, offsets.astype(np.int32),
+            lo=self.qcfg.verify_batch)
+        return self._confirm_znorm(offsets, d2, mu, sd, ctx)

@@ -96,15 +96,11 @@ class QueryEngine(BaseEngine):
         qids = np.repeat(np.arange(len(ctxs), dtype=np.int32), counts)
         qm = jnp.asarray(np.stack([c.query for c in ctxs]), jnp.float32)
         data_dev = self.data_dev
-        batch = self.qcfg.verify_batch
 
-        d2 = np.empty(total, np.float32)
-        po = vf.pad_batches(offsets.astype(np.int32), batch)
-        pq = vf.pad_batches(qids, batch)
-        for s in range(0, po.size, batch):
-            out = ed_distances_multi(data_dev, qm, po[s:s + batch], pq[s:s + batch], L)
-            e = min(s + batch, total)
-            d2[s:e] = np.asarray(out)[: e - s]
+        d2 = vf.run_bucketed(
+            lambda o, q: ed_distances_multi(data_dev, qm, o, q, L),
+            total, offsets.astype(np.int32), qids,
+            lo=self.qcfg.verify_batch)
 
         results = []
         start = 0

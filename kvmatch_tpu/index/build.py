@@ -197,14 +197,24 @@ def compute_buckets_tpu(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
     chunk = chunk or cfg.build_chunk
     device_s = 0.0
 
+    import jax
+
+    upload_s = exec_s = d2h_s = 0.0
     parts: Dict[int, list] = {w: [] for w in scales}
     for start in range(0, max(n - w_max + 1, 1), chunk):
         stop = min(start + chunk + w_max - 1, n)
-        piece = jnp.asarray(data[start:stop], jnp.float32)
         td = time.perf_counter()
+        piece = jnp.asarray(data[start:stop], jnp.float32)
+        piece.block_until_ready()
+        t1 = time.perf_counter()
         out = build_buckets(piece, scales, cfg.pos_of_d)
+        jax.block_until_ready(out)
+        t2 = time.perf_counter()
         out = {w: np.asarray(v) for w, v in out.items()}
-        device_s += time.perf_counter() - td
+        t3 = time.perf_counter()
+        upload_s += t1 - td
+        exec_s += t2 - t1
+        d2h_s += t3 - t2
         for w in scales:
             # Window starts owned by this chunk: [start, min(start+chunk, n-w+1)).
             owned = min(start + chunk, n - w + 1) - start
@@ -213,7 +223,9 @@ def compute_buckets_tpu(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         if stop == n:
             break
     if stats is not None:
-        stats["device_seconds"] = stats.get("device_seconds", 0.0) + device_s
+        stats["device_seconds"] = stats.get("device_seconds", 0.0) + exec_s
+        stats["upload_seconds"] = upload_s
+        stats["d2h_seconds"] = d2h_s
     return {w: (np.concatenate(v) if len(v) > 1 else v[0]) for w, v in parts.items()}
 
 

@@ -30,15 +30,45 @@ def pad_batches(offsets: np.ndarray, batch: int) -> np.ndarray:
     return offsets
 
 
+def bucket_size(m: int, lo: int = 1024, hi: int = 65536) -> int:
+    """Padded launch size: next power of two >= m within [lo, hi].  Each distinct
+    bucket size compiles once; a whole candidate set up to ``hi`` runs as ONE
+    device launch — under a high-latency link (the dev tunnel adds ~25ms per
+    transfer) launch count, not FLOPs, dominates phase-2 latency."""
+    b = lo
+    while b < m and b < hi:
+        b *= 2
+    return b
+
+
+def run_bucketed(kernel: Callable, m: int, *arrays: np.ndarray,
+                 lo: int = 1024, hi: int = 65536):
+    """Run ``kernel(*slices)`` over bucket-padded chunks of the given parallel
+    arrays; returns the kernel outputs (array or tuple) trimmed to ``m`` rows."""
+    batch = bucket_size(m, lo, hi)
+    padded = [pad_batches(a, batch) for a in arrays]
+    outs = None
+    for s in range(0, padded[0].size, batch):
+        res = kernel(*(p[s:s + batch] for p in padded))
+        if not isinstance(res, tuple):
+            res = (res,)
+        res = tuple(np.asarray(r) for r in res)
+        if outs is None:
+            outs = [[r] for r in res]
+        else:
+            for acc, r in zip(outs, res):
+                acc.append(r)
+    trimmed = tuple(np.concatenate(acc)[:m] for acc in outs)
+    return trimmed if len(trimmed) > 1 else trimmed[0]
+
+
 def device_distances(offsets: np.ndarray, batch: int,
                      kernel: Callable[[np.ndarray], np.ndarray]) -> np.ndarray:
-    """Run ``kernel`` (a jit'd (B,)->... distance function) over fixed-size batches."""
-    m = offsets.size
-    padded = pad_batches(offsets.astype(np.int32), batch)
-    outs = []
-    for s in range(0, padded.size, batch):
-        outs.append(np.asarray(kernel(padded[s:s + batch])))
-    return np.concatenate(outs)[:m] if outs else np.empty(0, np.float32)
+    """Run ``kernel`` (a jit'd (B,)->... distance function) over bucket-padded
+    batches; ``batch`` is the minimum bucket size."""
+    if offsets.size == 0:
+        return np.empty(0, np.float32)
+    return run_bucketed(kernel, offsets.size, offsets.astype(np.int32), lo=batch)
 
 
 def guard_threshold(eps2: float, length: int, guard: float) -> float:
