@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: the reference's only published number, the README demo query
+(RSM-ED, synthetic n=1e6, self-query at offset 123456, L=8192, eps=10 ->
+T=176 ms total on the authors' machine, /root/reference/README.md:72-77).
+``value`` is our median total latency for the same query; ``vs_baseline`` is the
+speedup (176 / value).  Extra fields report index-build throughput and batched
+query throughput for RSM-ED and cNSM-ED.
+
+Run: python bench.py [--n N] [--quick]
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+BASELINE_DEMO_MS = 176.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    # Warm the device link first: the dev tunnel's first D2H transfer can take
+    # minutes and must not pollute any measurement.
+    _ = np.asarray(jnp.ones(1024))
+
+    from kvmatch_tpu.config import IndexConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.engine.rsm_ed import QueryEngine
+    from kvmatch_tpu.index.build import build_index_tpu
+    from kvmatch_tpu.index.structure import total_memory_bytes
+
+    n = args.n
+    data = generate_series(n, seed=20260816)
+
+    # --- index build ---------------------------------------------------------
+    icfg = IndexConfig()
+    build_index_tpu(data[: min(n, 200_000)], icfg)  # compile warmup
+    stats: dict = {}
+    index = build_index_tpu(data, icfg, stats=stats)
+    build_mpts = stats.get("mpts_per_second", 0.0)
+
+    engine = QueryEngine(data, index=index, icfg=icfg)
+
+    # --- README demo query ---------------------------------------------------
+    L, eps, demo_off = 8192, 10.0, 123_455  # 0-based = reference offset 123456
+    res = engine.query_at(demo_off, L, eps)  # compile warmup
+    assert res.found and int(res.offsets[0]) == demo_off and res.distances[0] == 0.0, \
+        "demo self-query must return itself at distance 0"
+    lat = []
+    for _ in range(3 if args.quick else 7):
+        r = engine.query_at(demo_off, L, eps)
+        lat.append(r.stats.t_total_ms)
+    demo_ms = statistics.median(lat)
+
+    # --- batched RSM-ED throughput ------------------------------------------
+    rng = np.random.default_rng(1)
+    nq = 64 if args.quick else args.batch
+    offs = rng.integers(0, n - L, nq)
+    queries = np.stack([data[o:o + L] for o in offs])
+    engine.query_batch(queries[:8], eps)  # warmup
+    t0 = time.perf_counter()
+    batch_res = engine.query_batch(queries, eps)
+    rsm_qps = nq / (time.perf_counter() - t0)
+    found = sum(1 for o, r in zip(offs, batch_res) if int(o) in r.offsets.tolist())
+    assert found == nq, f"batched RSM-ED lost {nq - found} self-answers"
+
+    # --- batched cNSM-ED throughput -----------------------------------------
+    neng = NormQueryEngine(data, index=index, icfg=icfg,
+                           device_data=engine.data_dev)
+    nq2 = 32 if args.quick else 128
+    offs2 = offs[:nq2]
+    q2 = queries[:nq2]
+    neng.query_batch(q2[:4], 4.0, alpha=1.2, beta=5.0)  # warmup
+    t0 = time.perf_counter()
+    nres = neng.query_batch(q2, 4.0, alpha=1.2, beta=5.0)
+    cnsm_qps = nq2 / (time.perf_counter() - t0)
+    nfound = sum(1 for o, r in zip(offs2, nres) if int(o) in r.offsets.tolist())
+    assert nfound == nq2, f"batched cNSM-ED lost {nq2 - nfound} self-answers"
+
+    out = {
+        "metric": "RSM-ED demo query latency (n=1e6, L=8192, eps=10, self-query)",
+        "value": round(demo_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_DEMO_MS / demo_ms, 2),
+        "extras": {
+            "baseline_ms": BASELINE_DEMO_MS,
+            "index_build_mpts_per_s": round(build_mpts, 2),
+            "index_memory_mb": round(total_memory_bytes(index) / 1e6, 1),
+            "rsm_ed_batch_qps": round(rsm_qps, 1),
+            "cnsm_ed_batch_qps": round(cnsm_qps, 1),
+            "rsm_ed_batch_speedup_vs_ref_demo_rate": round(
+                rsm_qps / (1000.0 / BASELINE_DEMO_MS), 1),
+            "n": n,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
