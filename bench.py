@@ -71,7 +71,7 @@ def main() -> int:
     nq = 64 if args.quick else args.batch
     offs = rng.integers(0, n - L, nq)
     queries = np.stack([data[o:o + L] for o in offs])
-    engine.query_batch(queries[:8], eps)  # warmup
+    engine.query_batch(queries, eps)  # warmup (compiles all launch buckets)
     t0 = time.perf_counter()
     batch_res = engine.query_batch(queries, eps)
     rsm_qps = nq / (time.perf_counter() - t0)
@@ -84,7 +84,7 @@ def main() -> int:
     nq2 = 32 if args.quick else 128
     offs2 = offs[:nq2]
     q2 = queries[:nq2]
-    neng.query_batch(q2[:4], 4.0, alpha=1.2, beta=5.0)  # warmup
+    neng.query_batch(q2, 4.0, alpha=1.2, beta=5.0)  # warmup
     t0 = time.perf_counter()
     nres = neng.query_batch(q2, 4.0, alpha=1.2, beta=5.0)
     cnsm_qps = nq2 / (time.perf_counter() - t0)

@@ -43,6 +43,62 @@ class QueryEngineDtw(QueryEngine):
         return super()._scan(seg, ctx)
 
     # ---------------------------------------------------------------- phase 2
+    def _verify_multi(self, cand_offs, ctxs):
+        """Fused multi-query DTW verification: LB cascade then banded DP, with
+        per-candidate query rows so one launch stream serves the whole batch."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.dtw import dtw_banded_batch_multi, lb_keogh_multi, lb_kim_multi
+        from ..ops.ed import _gather_windows
+
+        L = ctxs[0].length
+        rho = ctxs[0].params["rho"]
+        counts = [o.size for o in cand_offs]
+        total = int(sum(counts))
+        if total == 0:
+            return [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
+        offsets = np.concatenate(cand_offs)
+        qids = np.repeat(np.arange(len(ctxs), dtype=np.int32), counts)
+        qm = jnp.asarray(np.stack([c.query for c in ctxs]), jnp.float32)
+        envs = [envelope(c.query, rho) for c in ctxs]
+        lo_m = jnp.asarray(np.stack([e[0] for e in envs]), jnp.float32)
+        hi_m = jnp.asarray(np.stack([e[1] for e in envs]), jnp.float32)
+        data_dev = self.data_dev
+        threshs = np.array([c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
+                            for c in ctxs])
+
+        @jax.jit
+        def lb_stage(o, q):
+            x = _gather_windows(data_dev, o, L)
+            return jnp.maximum(lb_kim_multi(x, qm[q]), lb_keogh_multi(x, lo_m[q], hi_m[q]))
+
+        lb = vf.run_bucketed(lb_stage, total, offsets.astype(np.int32), qids,
+                             lo=self.qcfg.verify_batch)
+        surv = lb <= threshs[qids]
+        s_off, s_qid = offsets[surv], qids[surv]
+        per_q = [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
+        for c, cnt in zip(ctxs, counts):
+            c.stats.n_device_checked = cnt
+        if s_off.size:
+            @jax.jit
+            def dtw_stage(o, q):
+                x = _gather_windows(data_dev, o, L)
+                return dtw_banded_batch_multi(x, qm[q], rho)
+
+            d2 = vf.run_bucketed(dtw_stage, s_off.size, s_off.astype(np.int32),
+                                 s_qid, lo=min(self.qcfg.verify_batch, 1024))
+            near_mask = d2 <= threshs[s_qid]
+            for qi, ctx in enumerate(ctxs):
+                near = s_off[near_mask & (s_qid == qi)]
+                ctx.stats.n_host_rechecked = int(near.size)
+                if near.size == 0:
+                    continue
+                idx = near[:, None] + np.arange(L)[None, :]
+                d2h = dtw_banded_batch_f64(self.data[idx], ctx.query, rho)
+                keep = d2h <= ctx.eps2
+                per_q[qi] = (near[keep], np.sqrt(d2h[keep]))
+        return per_q
+
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp
         rho = ctx.params["rho"]

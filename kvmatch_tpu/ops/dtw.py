@@ -75,6 +75,62 @@ def dtw_banded_batch(a_batch: jnp.ndarray, q: jnp.ndarray, r: int) -> jnp.ndarra
     return P[:, r]
 
 
+@functools.partial(jax.jit, static_argnames=("r",))
+def dtw_banded_batch_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray,
+                           r: int) -> jnp.ndarray:
+    """Banded DTW where every batch row has its OWN query: a_batch (B, L) vs
+    q_batch (B, L) — the multi-query phase-2 path (one launch per query batch)."""
+    Bsz, L = a_batch.shape
+    W = 2 * r + 1
+    ks = jnp.arange(W)
+
+    def row(P, i):
+        j = i - r + ks
+        valid = (j >= 0) & (j < L)
+        qv = q_batch[:, jnp.clip(j, 0, L - 1)]     # (B, W)
+        d = (a_batch[:, i][:, None] - qv) ** 2
+        d = jnp.where(valid[None, :], d, 0.0)
+        shifted = jnp.concatenate([P[:, 1:], jnp.full((Bsz, 1), BIG)], axis=1)
+        M = jnp.minimum(P, shifted)
+        M = jnp.where(i == 0, jnp.where(ks == r, 0.0, BIG)[None, :], M)
+        C = jnp.cumsum(d, axis=1)
+        Cprev = jnp.concatenate([jnp.zeros((Bsz, 1)), C[:, :-1]], axis=1)
+        D = jnp.minimum(C + jax.lax.cummin(M - Cprev, axis=1), BIG)
+        D = jnp.where(valid[None, :], D, BIG)
+        return D, None
+
+    P0 = jnp.full((Bsz, W), BIG)
+    P, _ = jax.lax.scan(row, P0, jnp.arange(L))
+    return P[:, r]
+
+
+def lb_keogh_multi(a_batch: jnp.ndarray, lo_batch: jnp.ndarray,
+                   hi_batch: jnp.ndarray) -> jnp.ndarray:
+    """LB_Keogh with a per-row query envelope ((B, L) each)."""
+    exc = jnp.maximum(jnp.maximum(a_batch - hi_batch, lo_batch - a_batch), 0.0)
+    return jnp.sum(exc * exc, axis=1)
+
+
+def lb_kim_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray) -> jnp.ndarray:
+    """LB_Kim with a per-row query ((B, L))."""
+    def dist(x, y):
+        return (x - y) ** 2
+    x = [a_batch[:, t] for t in range(3)]
+    y = [a_batch[:, -1 - t] for t in range(3)]
+    q = [q_batch[:, t] for t in range(3)]
+    p = [q_batch[:, -1 - t] for t in range(3)]
+    lb = dist(x[0], q[0]) + dist(y[0], p[0])
+    lb += jnp.minimum(jnp.minimum(dist(x[1], q[0]), dist(x[0], q[1])),
+                      dist(x[1], q[1]))
+    lb += jnp.minimum(jnp.minimum(dist(y[1], p[0]), dist(y[0], p[1])),
+                      dist(y[1], p[1]))
+    d = jnp.minimum(jnp.minimum(dist(x[0], q[2]), dist(x[1], q[2])), dist(x[2], q[2]))
+    lb += jnp.minimum(d, jnp.minimum(dist(x[2], q[1]), dist(x[2], q[0])))
+    d = jnp.minimum(jnp.minimum(dist(y[0], p[2]), dist(y[1], p[2])), dist(y[2], p[2]))
+    lb += jnp.minimum(d, jnp.minimum(dist(y[2], p[1]), dist(y[2], p[0])))
+    return lb
+
+
 def dtw_banded_batch_f64(a_batch: np.ndarray, q: np.ndarray, r: int) -> np.ndarray:
     """Float64 NumPy twin of ``dtw_banded_batch`` — exact host confirmation."""
     a_batch = np.asarray(a_batch, np.float64)

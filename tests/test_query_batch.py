@@ -57,3 +57,31 @@ def test_batch_per_query_epsilon(setup):
     for o, eps, res in zip(offs, [2.0, 8.0], batch):
         single = engine.query_at(o, L, eps)
         assert set(res.offsets.tolist()) == set(single.offsets.tolist())
+
+
+def test_dtw_batch_matches_single(setup):
+    data, index, icfg = setup
+    from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+    engine = QueryEngineDtw(data, index=index, icfg=icfg)
+    L, rho = 256, 12
+    offs = [1500, 8000, 20000]
+    queries = np.stack([data[o:o + L] for o in offs])
+    batch = engine.query_batch(queries, 4.0, rho=rho)
+    for o, res in zip(offs, batch):
+        single = engine.query_at(o, L, 4.0, rho=rho)
+        assert set(res.offsets.tolist()) == set(single.offsets.tolist())
+        assert o in res.offsets.tolist()
+
+
+def test_norm_dtw_batch_matches_single(setup):
+    data, index, icfg = setup
+    from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+    engine = NormQueryEngineDtw(data, index=index, icfg=icfg)
+    L, rho = 256, 12
+    offs = [2500, 13000, 31000]
+    queries = np.stack([data[o:o + L] for o in offs])
+    batch = engine.query_batch(queries, 3.0, rho=rho, alpha=1.3, beta=12.0)
+    for o, res in zip(offs, batch):
+        single = engine.query_at(o, L, 3.0, rho=rho, alpha=1.3, beta=12.0)
+        assert set(res.offsets.tolist()) == set(single.offsets.tolist())
+        assert o in res.offsets.tolist()
