@@ -34,7 +34,7 @@ from .base import BaseEngine, _Ctx
 
 
 class NormQueryEngine(BaseEngine):
-    payloads = ("ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta")
+    payloads = ("eps", "ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta")
     use_dtw_cost_model = True  # reference uses the DTW-fit coefficients here
                                # (NormQueryEngine.java:52-54)
 
@@ -119,6 +119,26 @@ class NormQueryEngine(BaseEngine):
             return iv.empty_set(cols)
         lo, hi = self._row_bounds(sc, rows)
         k_units = seg.w // self.icfg.unit
+        # Z-space epsilon lower bound per row (NOT in the reference, which carries
+        # no distance budget through cNSM intersections): for any window in this
+        # row, the z-normalized segment mean lies in n/sigma for
+        # n in [lo-(muQ+beta), hi-(muQ-beta)], sigma in [sdQ/alpha, alpha*sdQ];
+        # by Jensen, z-ED^2 over the segment >= w * dist(zq_seg, z-range)^2.
+        # Summing these through intersections prunes on the eps^2 budget exactly
+        # like the RSM engines do in raw space — sound, and it collapses the
+        # candidate blowup that wide beta ranges otherwise cause.
+        alpha = ctx.params["alpha"]
+        beta = ctx.params["beta"]
+        mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
+        n_lo = lo - (mu_q + beta)
+        n_hi = hi - (mu_q - beta)
+        s_small, s_big = sd_q / alpha, alpha * sd_q
+        z_lo = np.where(n_lo >= 0, n_lo / s_big, n_lo / s_small)
+        z_hi = np.where(n_hi >= 0, n_hi / s_small, n_hi / s_big)
+        zq_lo = (seg.mean_lo - mu_q) / sd_q
+        zq_hi = (seg.mean_hi - mu_q) / sd_q
+        zdelta = np.maximum(np.maximum(z_lo - zq_hi, zq_lo - z_hi), 0.0)
+        eps_row = seg.w * zdelta * zdelta
         # Sound bound tracks for the derived-sigma filter: the window mean of this
         # segment lies in [lo, hi].
         ex_lo = lo * k_units
@@ -138,13 +158,14 @@ class NormQueryEngine(BaseEngine):
         bits = (inside.astype(np.uint64) << np.arange(pb.size, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64)
         rep_rows, left, right = self._gather_rows(sc, rows)
-        return {"left": left, "right": right,
+        return {"left": left, "right": right, "eps": eps_row[rep_rows],
                 "ex_lo": ex_lo[rep_rows], "ex2_lo": ex2_lo[rep_rows],
                 "ex_up": ex_up[rep_rows], "ex2_up": ex2_up[rep_rows],
                 "beta": bits[rep_rows]}
 
     def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
-        keep = np.ones(ia.size, bool)
+        eps_sum = a["eps"][ia] + b["eps"][ib]
+        keep = eps_sum <= ctx.eps2
         bits = a["beta"][ia] & b["beta"][ib]
         if self.qcfg.enable_beta_partition:
             keep &= bits != 0
@@ -155,7 +176,7 @@ class NormQueryEngine(BaseEngine):
         if self.qcfg.enable_std_filter:
             keep &= self._std_filter(ex_lo, ex2_lo, ex_up, ex2_up, ctx)
         out = {k: v[keep] for k, v in pieces.items()}
-        out.update(ex_lo=ex_lo[keep], ex2_lo=ex2_lo[keep],
+        out.update(eps=eps_sum[keep], ex_lo=ex_lo[keep], ex2_lo=ex2_lo[keep],
                    ex_up=ex_up[keep], ex2_up=ex2_up[keep], beta=bits[keep])
         return out
 
