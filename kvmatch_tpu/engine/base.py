@@ -165,10 +165,13 @@ class BaseEngine:
                 (segments[i + 1].order - seg.order) * unit
             ctx.processed_units += seg.w // unit
 
-            positions = iv.merge_intervals(self._scan(seg, ctx))
+            positions = self._scan(seg, ctx)
             ctx.stats.n_scans += 1
 
             if i == 0:
+                # Only the first segment's set becomes the running CS and needs
+                # sort+merge; later raw scans intersect against it unsorted.
+                positions = iv.merge_intervals(positions)
                 base = (seg.order - 1) * unit
                 lo, hi = base, self.n - ctx.length + base  # valid window starts, 0-based
                 left = np.maximum(positions["left"], lo)
@@ -177,7 +180,7 @@ class BaseEngine:
                 nxt = {k: v[keep] for k, v in positions.items()}
                 nxt["left"], nxt["right"] = left[keep], right[keep]
             else:
-                pieces, ia, ib = iv.intersect(cs, positions)
+                pieces, ia, ib = iv.intersect_with_sorted(cs, positions)
                 nxt = self._combine(pieces, cs, positions, ia, ib, ctx)
 
             self._track_min_eps(nxt, ctx)

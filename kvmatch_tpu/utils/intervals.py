@@ -150,6 +150,37 @@ def intersect(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray]) -> Tuple[Dict[
     return pieces, ia, ib
 
 
+def intersect_with_sorted(cs: Dict[str, np.ndarray], raw: Dict[str, np.ndarray]
+                          ) -> Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]:
+    """Overlap pieces of a *sorted disjoint* set ``cs`` with an *arbitrary-order,
+    possibly overlapping* set ``raw`` (a freshly scanned segment).
+
+    Sorting a segment's raw interval list costs O(P log P) on the hot path; this
+    variant only binary-searches the (small) running candidate set, so the large
+    first-scan arrays are never sorted after segment 0.  Overlapping raw
+    intervals simply emit multiple pieces — the caller's merge combines their
+    payloads with the same min/or semantics as pre-merging would have.
+    Returns (pieces, i_cs, i_raw).
+    """
+    cl, cr = cs["left"], cs["right"]
+    rl, rr = raw["left"], raw["right"]
+    if cl.size == 0 or rl.size == 0:
+        e = empty_set(tuple(k for k in cs if k not in ("left", "right")))
+        return e, np.empty(0, np.int64), np.empty(0, np.int64)
+    j0 = np.searchsorted(cr, rl, side="left")   # first cs with right >= raw.left
+    j1 = np.searchsorted(cl, rr, side="right")  # first cs with left > raw.right
+    counts = np.maximum(j1 - j0, 0)
+    total = int(counts.sum())
+    i_raw = np.repeat(np.arange(rl.size), counts)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    i_cs = (np.arange(total) - np.repeat(offs, counts)) + np.repeat(j0, counts)
+    pieces = {
+        "left": np.maximum(cl[i_cs], rl[i_raw]),
+        "right": np.minimum(cr[i_cs], rr[i_raw]),
+    }
+    return pieces, i_cs, i_raw
+
+
 def expand_offsets(cs: Dict[str, np.ndarray], limit: int | None = None) -> np.ndarray:
     """Materialize every offset contained in the interval set as a flat int64 array."""
     left, right = cs["left"], cs["right"]
