@@ -73,6 +73,9 @@ class _Ctx:
     stats: QueryStats
     last_min_eps: float = 0.0
     processed_units: int = 0
+    # Current candidate span (min left, max right) in the frame of the NEXT
+    # segment to scan; lets _gather_rows use the position-sorted index view.
+    span: tuple = None
 
 
 class BaseEngine:
@@ -111,10 +114,29 @@ class BaseEngine:
                       sc.mean_upper_bound) + slack
         return lo, hi
 
-    def _gather_rows(self, sc: IndexScale, rows: np.ndarray
+    def _gather_rows(self, sc: IndexScale, rows: np.ndarray, ctx: "_Ctx" = None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Flatten the interval lists of the probed rows.  Returns
-        (row_of_interval, left, right)."""
+        (row_of_interval, left, right) with row_of_interval indexing into ``rows``.
+
+        When the running candidate span (ctx.span) is narrower than the rows'
+        total interval count, switch to the position-sorted view and materialize
+        only intervals overlapping the span — intervals are <= maximum_diff wide,
+        so the span selection is two binary searches on the left edges."""
+        if rows.size == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        i0, i1 = int(rows[0]), int(rows[-1]) + 1
+        row_total = int(sc.row_ptr[i1] - sc.row_ptr[i0])
+        if ctx is not None and ctx.span is not None:
+            lo, hi = ctx.span
+            p_left, p_right, p_row = sc.pos_sorted()
+            a = np.searchsorted(p_left, lo - self.icfg.maximum_diff, side="left")
+            b = np.searchsorted(p_left, hi, side="right")
+            if (b - a) < row_total:
+                sl_row = p_row[a:b]
+                keep = (sl_row >= i0) & (sl_row < i1) & (p_right[a:b] >= lo)
+                return (sl_row[keep] - i0, p_left[a:b][keep], p_right[a:b][keep])
         counts = sc.row_ptr[rows + 1] - sc.row_ptr[rows]
         total = int(counts.sum())
         rep_rows = np.repeat(np.arange(rows.size), counts)
@@ -186,6 +208,8 @@ class BaseEngine:
             self._track_min_eps(nxt, ctx)
             cs = iv.merge_intervals(iv.shift(nxt, delta))
             ctx.stats.n_segments_used = i + 1
+            if cs["left"].size:
+                ctx.span = (int(cs["left"][0]), int(cs["right"][-1]))
 
             if cs["left"].size == 0:
                 ctx.stats.t_phase1_ms = (time.perf_counter() - t0) * 1e3

@@ -157,7 +157,7 @@ class NormQueryEngine(BaseEngine):
         inside = (pb[None, :] <= key[:, None]) & (key[:, None] <= pe[None, :])
         bits = (inside.astype(np.uint64) << np.arange(pb.size, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64)
-        rep_rows, left, right = self._gather_rows(sc, rows)
+        rep_rows, left, right = self._gather_rows(sc, rows, ctx)
         return {"left": left, "right": right, "eps": eps_row[rep_rows],
                 "ex_lo": ex_lo[rep_rows], "ex2_lo": ex2_lo[rep_rows],
                 "ex_up": ex_up[rep_rows], "ex2_up": ex2_up[rep_rows],

@@ -42,6 +42,20 @@ class IndexScale:
     # reference leaves open-ended (MeanIntervalUtils.java:109 returns +10000).
     mean_upper_bound: float = float("inf")
 
+    # Lazy position-sorted view: intervals ordered by left edge with their row id.
+    # Lets a probe restrict itself to the running candidate span (engine/base.py
+    # _gather_rows_span) — later phase-1 segments then cost O(span intervals)
+    # instead of O(all intervals in the key range).
+    _pos_sorted: tuple = None
+
+    def pos_sorted(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._pos_sorted is None:
+            order = np.argsort(self.left, kind="stable")
+            row_of = np.repeat(np.arange(self.num_rows, dtype=np.int64),
+                               np.diff(self.row_ptr))
+            self._pos_sorted = (self.left[order], self.right[order], row_of[order])
+        return self._pos_sorted
+
     @property
     def num_rows(self) -> int:
         return int(self.keys.size)

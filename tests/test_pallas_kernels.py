@@ -1,0 +1,44 @@
+"""Pallas verify kernels vs the XLA kernels (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kvmatch_tpu.ops.ed import ed_distances, znorm_ed_distances
+from kvmatch_tpu.ops.pallas_ed import BLOCK, window_distances_pallas
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    n, L, B = 20_000, 512, 64
+    data = rng.normal(size=n).astype(np.float32)
+    q = rng.normal(size=L).astype(np.float32)
+    offs = rng.integers(0, n - L, B).astype(np.int32)
+    return data, q, offs, L
+
+
+def test_pallas_ed_matches_xla(problem):
+    data, q, offs, L = problem
+    ref = np.asarray(ed_distances(jnp.asarray(data), jnp.asarray(q),
+                                  jnp.asarray(offs), L))
+    got = np.asarray(window_distances_pallas(jnp.asarray(data), jnp.asarray(q),
+                                             jnp.asarray(offs), L,
+                                             interpret=INTERPRET))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-3)
+
+
+def test_pallas_znorm_matches_xla(problem):
+    data, q, offs, L = problem
+    qh = (q - q.mean()) / q.std()
+    ref_d2, ref_mu, ref_sd = (np.asarray(a) for a in znorm_ed_distances(
+        jnp.asarray(data), jnp.asarray(qh), jnp.asarray(offs), L))
+    d2, mu, sd = window_distances_pallas(jnp.asarray(data), jnp.asarray(qh),
+                                         jnp.asarray(offs), L, znorm=True,
+                                         interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(mu), ref_mu, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sd), ref_sd, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-3, atol=1e-2)
