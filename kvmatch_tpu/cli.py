@@ -19,11 +19,22 @@ convention (README demo: Offset=123456 -> data[123455:...]).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# The container's sitecustomize may pre-register a device plugin and stomp
+# JAX_PLATFORMS; honor the caller's value through the live config.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        import jax
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
 
 
 def _load_data(path: str) -> np.ndarray:

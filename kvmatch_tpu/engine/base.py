@@ -170,6 +170,55 @@ class BaseEngine:
         if "eps" in cs and cs["eps"].size:
             ctx.last_min_eps = float(cs["eps"].min())
 
+    def _candidate_intervals(self, cs: Dict[str, np.ndarray], last_segment: int,
+                             length: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Translate the final CS to query-offset frame, clipped to valid starts."""
+        if cs["left"].size == 0:
+            e = np.empty(0, np.int64)
+            return e, e
+        base = (last_segment - 1) * self.icfg.unit
+        left = np.maximum(cs["left"] - base, 0)
+        right = np.minimum(cs["right"] - base, self.n - length)
+        keep = left <= right
+        return left[keep], right[keep]
+
+    def _data_center(self) -> float:
+        if not hasattr(self, "_center"):
+            self._center = float(self.data.mean())
+        return self._center
+
+    REGION_M = 512
+
+    def _region_plan(self, cand_ivs, L: int):
+        """Decide gather vs region path from HBM-traffic estimates and, for the
+        region path, pack all queries' intervals into fixed-M region rows."""
+        from ..ops.regions import pack_regions
+        M = self.REGION_M
+        n_offsets = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
+        n_regions = sum(int(np.sum((r - l + 1 + M - 1) // M))
+                        for l, r in cand_ivs if l.size)
+        if n_regions == 0 or n_regions * (M + L) * 2 >= n_offsets * L:
+            return None
+        starts, vfrom, vto, qids = [], [], [], []
+        for qi, (l, r) in enumerate(cand_ivs):
+            if l.size == 0:
+                continue
+            s, a, b = pack_regions(l, r, self.n, L, M)
+            starts.append(s)
+            vfrom.append(a)
+            vto.append(b)
+            qids.append(np.full(s.size, qi, np.int32))
+        return (np.concatenate(starts), np.concatenate(vfrom),
+                np.concatenate(vto), np.concatenate(qids))
+
+    def _verify_intervals(self, left: np.ndarray, right: np.ndarray, ctx: _Ctx
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Default phase 2: expand intervals to offsets and run the per-candidate
+        gather kernel.  ED engines override to pick the region/conv path when
+        candidates are clustered (ops/regions.py)."""
+        offsets = iv.expand_offsets({"left": left, "right": right})
+        return self._verify(offsets, ctx)
+
     # ------------------------------------------------------------------ phase 1
     def _phase1(self, segments: List[QuerySegment], ctx: _Ctx
                 ) -> Tuple[Dict[str, np.ndarray], int]:
@@ -238,6 +287,13 @@ class BaseEngine:
     # ------------------------------------------------------------------ driver
     def query(self, query: np.ndarray, epsilon: float, **params) -> QueryResult:
         query = np.asarray(query, np.float64)
+        if query.size < self.icfg.unit:
+            raise ValueError(
+                f"query length {query.size} is below the smallest index scale "
+                f"({self.icfg.unit}); KV-match requires L >= {self.icfg.unit} "
+                f"(QueryEngine.java:121-123)")
+        if epsilon < 0:
+            raise ValueError("epsilon must be >= 0")
         stats = QueryStats()
         ctx = _Ctx(query=query, length=query.size, epsilon=float(epsilon),
                    eps2=float(epsilon) ** 2, params=params, stats=stats)
@@ -247,15 +303,10 @@ class BaseEngine:
         cs, last_segment = self._phase1(segments, ctx)
 
         t2 = time.perf_counter()
-        if cs["left"].size:
-            base = (last_segment - 1) * self.icfg.unit
-            offsets = iv.expand_offsets(cs) - base
-            offsets = offsets[(offsets >= 0) & (offsets <= self.n - ctx.length)]
-        else:
-            offsets = np.empty(0, np.int64)
-        stats.n_candidates = int(offsets.size)
-        if offsets.size:
-            ans_off, ans_dist = self._verify(offsets, ctx)
+        c_l, c_r = self._candidate_intervals(cs, last_segment, ctx.length)
+        stats.n_candidates = int(np.sum(c_r - c_l + 1)) if c_l.size else 0
+        if c_l.size:
+            ans_off, ans_dist = self._verify_intervals(c_l, c_r, ctx)
         else:
             ans_off, ans_dist = np.empty(0, np.int64), np.empty(0)
         stats.t_phase2_ms = (time.perf_counter() - t2) * 1e3
@@ -276,7 +327,7 @@ class BaseEngine:
         nq = queries.shape[0]
         eps = np.broadcast_to(np.asarray(epsilon, np.float64), (nq,))
         ctxs: List[_Ctx] = []
-        cand_offs: List[np.ndarray] = []
+        cand_ivs: List[Tuple[np.ndarray, np.ndarray]] = []
         t0 = time.perf_counter()
         for qi in range(nq):
             ctx = _Ctx(query=queries[qi], length=queries.shape[1],
@@ -284,17 +335,12 @@ class BaseEngine:
                        params=dict(params), stats=QueryStats())
             segments = self._plan(ctx)
             cs, last_segment = self._phase1(segments, ctx)
-            if cs["left"].size:
-                base = (last_segment - 1) * self.icfg.unit
-                offs = iv.expand_offsets(cs) - base
-                offs = offs[(offs >= 0) & (offs <= self.n - ctx.length)]
-            else:
-                offs = np.empty(0, np.int64)
-            ctx.stats.n_candidates = int(offs.size)
+            c_l, c_r = self._candidate_intervals(cs, last_segment, ctx.length)
+            ctx.stats.n_candidates = int(np.sum(c_r - c_l + 1)) if c_l.size else 0
             ctxs.append(ctx)
-            cand_offs.append(offs)
+            cand_ivs.append((c_l, c_r))
         t_verify = time.perf_counter()
-        per_query = self._verify_multi(cand_offs, ctxs)
+        per_query = self._verify_multi(cand_ivs, ctxs)
         t_end = time.perf_counter()
         results = []
         for qi, (ans_off, ans_dist) in enumerate(per_query):
@@ -307,12 +353,13 @@ class BaseEngine:
                                        distances=ans_dist[order], stats=stats))
         return results
 
-    def _verify_multi(self, cand_offs: List[np.ndarray], ctxs: List[_Ctx]):
+    def _verify_multi(self, cand_ivs, ctxs: List[_Ctx]):
         """Default: per-query verification (engines override with a fused
-        multi-query device path)."""
-        return [self._verify(offs, ctx) if offs.size else
+        multi-query device path).  ``cand_ivs`` is one (left, right) interval
+        pair per query."""
+        return [self._verify_intervals(l, r, ctx) if l.size else
                 (np.empty(0, np.int64), np.empty(0))
-                for offs, ctx in zip(cand_offs, ctxs)]
+                for (l, r), ctx in zip(cand_ivs, ctxs)]
 
     def query_at(self, offset: int, length: int, epsilon: float, **params) -> QueryResult:
         """Self-query convenience: extract Q = data[offset : offset+length] first

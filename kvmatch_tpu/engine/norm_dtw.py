@@ -37,7 +37,7 @@ class NormQueryEngineDtw(NormQueryEngine):
                                     self._cost_batch(ctx), self.icfg, self.qcfg)
 
     # ---------------------------------------------------------------- phase 2
-    def _verify_multi(self, cand_offs, ctxs):
+    def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query cNSM-DTW: exact host constraint prefilter, then
         z-normalized LB cascade + banded DP with per-candidate query rows."""
         import jax
@@ -47,8 +47,10 @@ class NormQueryEngineDtw(NormQueryEngine):
 
         L = ctxs[0].length
         rho = ctxs[0].params["rho"]
-        cand_offs = [self._constraint_prefilter(o, c)
-                     for o, c in zip(cand_offs, ctxs)]
+        from ..utils import intervals as iv
+        cand_offs = [self._constraint_prefilter(
+            iv.expand_offsets({"left": l, "right": r}), c)
+            for (l, r), c in zip(cand_ivs, ctxs)]
         counts = [o.size for o in cand_offs]
         total = int(sum(counts))
         if total == 0:

@@ -254,28 +254,71 @@ class NormQueryEngine(BaseEngine):
                (std >= sd_q / alpha * (1 - 1e-9) - g) & (std > 0)
         return offsets[keep]
 
-    def _verify_multi(self, cand_offs, ctxs):
+    def _verify_intervals(self, left, right, ctx):
+        return self._verify_multi([(left, right)], [ctx])[0]
+
+    def _verify_multi(self, cand_ivs, ctxs):
+        """Fused multi-query z-norm verification: region/conv (MASS) path for
+        clustered candidates, exact host constraint prefilter + gather kernel for
+        scattered ones."""
         import jax.numpy as jnp
-        from ..ops.ed import znorm_ed_distances_multi
         L = ctxs[0].length
-        cand_offs = [self._constraint_prefilter(o, c)
-                     for o, c in zip(cand_offs, ctxs)]
+        for (l, r), ctx in zip(cand_ivs, ctxs):
+            ctx.stats.n_device_checked = int(np.sum(r - l + 1)) if l.size else 0
+        qhats = np.stack([(c.query - c.params["_mu_q"]) / c.params["_sd_q"]
+                          for c in ctxs])
+        qm = jnp.asarray(qhats, jnp.float32)
+        data_dev = self.data_dev
+        threshs = np.array([c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
+                            for c in ctxs])
+        region = self._region_plan(cand_ivs, L)
+
+        if region is not None:
+            from ..ops.regions import region_znorm_distances_multi
+            starts, vfrom, vto, qids = region
+            M = self.REGION_M
+            d2, mu, sd, derr = vf.run_bucketed(
+                lambda s_, q_: region_znorm_distances_multi(
+                    data_dev, qm, s_, q_, L, M),
+                starts.size, starts.astype(np.int32), qids, lo=32, hi=2048)
+            # Guarded constraint + distance prefilter per offset.
+            alphas = np.array([c.params["alpha"] for c in ctxs])
+            betas = np.array([c.params["beta"] for c in ctxs])
+            mu_qs = np.array([c.params["_mu_q"] for c in ctxs])
+            sd_qs = np.array([c.params["_sd_q"] for c in ctxs])
+            cg = 1e-3 * (1.0 + np.abs(mu_qs) + sd_qs)
+            a_r, b_r = alphas[qids][:, None], betas[qids][:, None]
+            cg_r = cg[qids][:, None]
+            ratio = sd / sd_qs[qids][:, None]
+            ok = ((np.abs(mu - mu_qs[qids][:, None]) <= b_r + cg_r)
+                  & (ratio <= a_r + cg_r) & (ratio >= 1.0 / a_r - cg_r) & (sd > 0))
+            col = np.arange(M)[None, :]
+            nearm = (ok & (col >= vfrom[:, None]) & (col < vto[:, None])
+                     & (d2 <= threshs[qids][:, None] + derr))
+            rows, cols = np.nonzero(nearm)
+            near_off = starts[rows] + cols
+            near_qid = qids[rows]
+            out = []
+            for qi, ctx in enumerate(ctxs):
+                near = np.sort(near_off[near_qid == qi])
+                out.append(self._confirm_znorm_exact(near, ctx))
+            return out
+
+        # Scattered: exact host constraint prefilter, then the gather kernel.
+        from ..ops.ed import znorm_ed_distances_multi
+        cand_offs = [self._constraint_prefilter(
+            iv.expand_offsets({"left": l, "right": r}), c)
+            for (l, r), c in zip(cand_ivs, ctxs)]
         counts = [o.size for o in cand_offs]
         total = int(sum(counts))
         if total == 0:
             return [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
         offsets = np.concatenate(cand_offs)
         qids = np.repeat(np.arange(len(ctxs), dtype=np.int32), counts)
-        qhats = np.stack([(c.query - c.params["_mu_q"]) / c.params["_sd_q"]
-                          for c in ctxs])
-        qm = jnp.asarray(qhats, jnp.float32)
-        data_dev = self.data_dev
-
         d2, mu, sd = vf.run_bucketed(
             lambda o, q: znorm_ed_distances_multi(data_dev, qm, o, q, L),
             total, offsets.astype(np.int32), qids,
             lo=self.qcfg.verify_batch)
-
         results = []
         start = 0
         for qi, ctx in enumerate(ctxs):
@@ -285,6 +328,30 @@ class NormQueryEngine(BaseEngine):
             results.append(self._confirm_znorm(
                 cand_offs[qi], d2[sl], mu[sl], sd[sl], ctx))
         return results
+
+    def _confirm_znorm_exact(self, near: np.ndarray, ctx: _Ctx):
+        """Exact float64 confirmation when the device prefilter already ran."""
+        ctx.stats.n_host_rechecked = int(near.size)
+        if near.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
+        alpha = ctx.params["alpha"]
+        beta = ctx.params["beta"]
+        mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
+        L = ctx.length
+        q_hat = (ctx.query - mu_q) / sd_q
+        idx = near[:, None] + np.arange(L)[None, :]
+        x = self.data[idx]
+        mu_h = x.mean(axis=1)
+        var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
+        sd_h = np.sqrt(var_h)
+        ratio_h = sd_h / sd_q
+        ok_h = (np.abs(mu_h - mu_q) <= beta) & (ratio_h <= alpha) & \
+               (ratio_h >= 1.0 / alpha) & (sd_h > 0)
+        zt = (x - mu_h[:, None]) / np.where(sd_h > 0, sd_h, 1.0)[:, None]
+        diff = zt - q_hat[None, :]
+        d2h = np.einsum("ij,ij->i", diff, diff)
+        keep = ok_h & (d2h <= ctx.eps2)
+        return near[keep], np.sqrt(d2h[keep])
 
     def _confirm_znorm(self, offsets, d2, mu, sd, ctx: _Ctx):
         """Guarded device pre-filter -> exact float64 host confirmation."""

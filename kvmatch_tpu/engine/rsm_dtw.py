@@ -43,16 +43,18 @@ class QueryEngineDtw(QueryEngine):
         return super()._scan(seg, ctx)
 
     # ---------------------------------------------------------------- phase 2
-    def _verify_multi(self, cand_offs, ctxs):
+    def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query DTW verification: LB cascade then banded DP, with
         per-candidate query rows so one launch stream serves the whole batch."""
         import jax
         import jax.numpy as jnp
         from ..ops.dtw import dtw_banded_batch_multi, lb_keogh_multi, lb_kim_multi
         from ..ops.ed import _gather_windows
+        from ..utils import intervals as iv
 
         L = ctxs[0].length
         rho = ctxs[0].params["rho"]
+        cand_offs = [iv.expand_offsets({"left": l, "right": r}) for l, r in cand_ivs]
         counts = [o.size for o in cand_offs]
         total = int(sum(counts))
         if total == 0:

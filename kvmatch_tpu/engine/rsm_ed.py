@@ -82,12 +82,56 @@ class QueryEngine(BaseEngine):
             return ed_distances(data_dev, query_f32, offs, length)
         return run
 
-    def _verify_multi(self, cand_offs, ctxs):
-        """Fused multi-query verification: one padded device batch stream over the
-        concatenated candidates of the whole query batch."""
+    def _confirm_ed(self, near: np.ndarray, ctx: _Ctx):
+        """Exact float64 host confirmation of near-threshold candidates."""
+        ctx.stats.n_host_rechecked = int(near.size)
+        if near.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
+        idx = near[:, None] + np.arange(ctx.length)[None, :]
+        diff = self.data[idx] - ctx.query[None, :]
+        d2h = np.einsum("ij,ij->i", diff, diff)
+        keep = d2h <= ctx.eps2
+        return near[keep], np.sqrt(d2h[keep])
+
+    def _verify_intervals(self, left, right, ctx):
+        return self._verify_multi([(left, right)], [ctx])[0]
+
+    def _verify_multi(self, cand_ivs, ctxs):
+        """Fused multi-query verification.  Clustered candidate sets go through
+        the region/conv path (MXU sliding correlation, ops/regions.py); scattered
+        ones through the per-candidate gather kernel."""
         import jax.numpy as jnp
-        from ..ops.ed import ed_distances_multi
         L = ctxs[0].length
+        threshs = np.array([c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
+                            for c in ctxs])
+        for (l, r), ctx in zip(cand_ivs, ctxs):
+            ctx.stats.n_device_checked = int(np.sum(r - l + 1)) if l.size else 0
+        region = self._region_plan(cand_ivs, L)
+        data_dev = self.data_dev
+
+        if region is not None:
+            from ..ops.regions import region_ed_distances_multi
+            starts, vfrom, vto, qids = region
+            c = np.float32(self._data_center())
+            qm = jnp.asarray(np.stack([ctx.query for ctx in ctxs]) - float(c),
+                             jnp.float32)
+            M = self.REGION_M
+            d2, err = vf.run_bucketed(
+                lambda s_, q_: region_ed_distances_multi(
+                    data_dev, qm, s_, q_, L, M, c),
+                starts.size, starts.astype(np.int32), qids, lo=32, hi=2048)
+            col = np.arange(M)[None, :]
+            nearm = ((col >= vfrom[:, None]) & (col < vto[:, None]) &
+                     (d2 <= threshs[qids][:, None] + err))
+            rows, cols = np.nonzero(nearm)
+            near_off = starts[rows] + cols
+            near_qid = qids[rows]
+            return [self._confirm_ed(np.sort(near_off[near_qid == qi]), ctx)
+                    for qi, ctx in enumerate(ctxs)]
+
+        # Scattered: per-candidate gather kernel over the concatenated offsets.
+        from ..ops.ed import ed_distances_multi
+        cand_offs = [iv.expand_offsets({"left": l, "right": r}) for l, r in cand_ivs]
         counts = [o.size for o in cand_offs]
         total = int(sum(counts))
         if total == 0:
@@ -95,32 +139,18 @@ class QueryEngine(BaseEngine):
         offsets = np.concatenate(cand_offs)
         qids = np.repeat(np.arange(len(ctxs), dtype=np.int32), counts)
         qm = jnp.asarray(np.stack([c.query for c in ctxs]), jnp.float32)
-        data_dev = self.data_dev
-
         d2 = vf.run_bucketed(
             lambda o, q: ed_distances_multi(data_dev, qm, o, q, L),
             total, offsets.astype(np.int32), qids,
             lo=self.qcfg.verify_batch)
-
         results = []
         start = 0
         for qi, ctx in enumerate(ctxs):
             cnt = counts[qi]
-            off_q = cand_offs[qi]
             d2_q = d2[start:start + cnt]
+            near = cand_offs[qi][d2_q <= threshs[qi]]
             start += cnt
-            ctx.stats.n_device_checked = cnt
-            thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, L, self.qcfg.verify_guard)
-            near = off_q[d2_q <= thresh]
-            ctx.stats.n_host_rechecked = int(near.size)
-            if near.size == 0:
-                results.append((np.empty(0, np.int64), np.empty(0)))
-                continue
-            idx = near[:, None] + np.arange(L)[None, :]
-            diff = self.data[idx] - ctx.query[None, :]
-            d2h = np.einsum("ij,ij->i", diff, diff)
-            keep = d2h <= ctx.eps2
-            results.append((near[keep], np.sqrt(d2h[keep])))
+            results.append(self._confirm_ed(near, ctx))
         return results
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
