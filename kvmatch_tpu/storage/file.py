@@ -68,9 +68,13 @@ class TimeSeriesFileStore:
 class IndexFileStore:
     """One file per scale: ``index-{n}-{w}`` in a directory (IndexFileOperator.java:45)."""
 
-    def __init__(self, directory: str | os.PathLike, n: int):
+    def __init__(self, directory: str | os.PathLike, n: int,
+                 pos_bytes: int | None = None):
         self.dir = Path(directory)
         self.n = n
+        # Long variant (int64 positions, LongIndexNode codec) kicks in
+        # automatically past the int32 position space (SURVEY.md section 2.4).
+        self.pos_bytes = pos_bytes if pos_bytes is not None else             (8 if n > 2 ** 31 - 1 else 4)
 
     def _path(self, w: int) -> Path:
         return self.dir / f"index-{self.n}-{w}"
@@ -87,7 +91,7 @@ class IndexFileStore:
         for r in range(sc.num_rows):
             l, rr = sc.row_slice(r)
             row = np.array([sc.keys[r]], ">f8").tobytes() + \
-                codec.encode_positions_compact(l, rr)
+                codec.encode_positions_compact(l, rr, pos_bytes=self.pos_bytes)
             offsets.append(pos)
             chunks.append(row)
             pos += len(row)
@@ -119,7 +123,8 @@ class IndexFileStore:
         for r in range(n_rows):
             s, e = int(offsets[r]), int(offsets[r + 1])
             keys[r] = np.frombuffer(blob[s:s + 8], ">f8")[0]
-            l, rr = codec.decode_positions_compact(blob[s + 8:e])
+            l, rr = codec.decode_positions_compact(blob[s + 8:e],
+                                                   pos_bytes=self.pos_bytes)
             lefts.append(l)
             rights.append(rr)
             row_ptr[r + 1] = row_ptr[r] + l.size

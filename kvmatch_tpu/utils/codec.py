@@ -25,9 +25,11 @@ import numpy as np
 
 
 def encode_positions_compact(left: np.ndarray, right: np.ndarray,
-                             maximum_diff: int = 256) -> bytes:
+                             maximum_diff: int = 256,
+                             pos_bytes: int = 4) -> bytes:
     """Pack sorted disjoint intervals like IndexNode.toBytesCompact
-    (IndexNode.java:51-95).
+    (IndexNode.java:51-95); ``pos_bytes=8`` gives the int64 Long variant
+    (mapreduce/common/LongIndexNode.java:35-191) for series beyond 2^31 points.
 
     Groups break when the gap to the previous interval >= maximum_diff or when a
     group reaches its count-byte capacity (count stored as (pairs-1)/2 biased).
@@ -59,41 +61,44 @@ def encode_positions_compact(left: np.ndarray, right: np.ndarray,
     first_idx = np.flatnonzero(starts)
     followers = np.diff(np.append(first_idx, k)) - 1
 
-    out_len = int(n_groups * 6 + followers.sum() * 2)
+    hdr = pos_bytes + 2  # left + count byte + first width byte
+    out_len = int(n_groups * hdr + followers.sum() * 2)
     buf = np.zeros(out_len, np.uint8)
     # Byte offset of each group.
-    group_off = np.concatenate(([0], np.cumsum(6 + 2 * followers)[:-1])).astype(np.int64)
-    lefts = left[first_idx].astype(">i4")
-    lb = lefts.view(np.uint8).reshape(-1, 4)
-    for b in range(4):
+    group_off = np.concatenate(([0], np.cumsum(hdr + 2 * followers)[:-1])).astype(np.int64)
+    lefts = left[first_idx].astype(">i4" if pos_bytes == 4 else ">i8")
+    lb = lefts.view(np.uint8).reshape(-1, pos_bytes)
+    for b in range(pos_bytes):
         buf[group_off + b] = lb[:, b]
-    buf[group_off + 4] = (followers - 128).astype(np.int64).astype(np.uint8)
-    buf[group_off + 5] = (width[first_idx] - 128).astype(np.int64).astype(np.uint8)
+    buf[group_off + pos_bytes] = (followers - 128).astype(np.int64).astype(np.uint8)
+    buf[group_off + pos_bytes + 1] = (width[first_idx] - 128).astype(np.int64).astype(np.uint8)
     # Follower diffs: per interval i not a start: gap-128, width-128.
     fmask = ~starts
     fidx = np.flatnonzero(fmask)
     if fidx.size:
         pos_within = np.arange(k) - first_idx[group_id]
-        byte_pos = group_off[group_id[fidx]] + 6 + (pos_within[fidx] - 1) * 2
+        byte_pos = group_off[group_id[fidx]] + hdr + (pos_within[fidx] - 1) * 2
         buf[byte_pos] = (gap[fidx] - 128).astype(np.int64).astype(np.uint8)
         buf[byte_pos + 1] = (width[fidx] - 128).astype(np.int64).astype(np.uint8)
     return buf.tobytes()
 
 
-def decode_positions_compact(data: bytes) -> Tuple[np.ndarray, np.ndarray]:
+def decode_positions_compact(data: bytes, pos_bytes: int = 4
+                             ) -> Tuple[np.ndarray, np.ndarray]:
     """Inverse of encode_positions_compact (IndexNode.parseBytesCompact,
-    IndexNode.java:110-129)."""
+    IndexNode.java:110-129; LongIndexNode for pos_bytes=8)."""
     raw = np.frombuffer(data, np.uint8)
     lefts: List[np.ndarray] = []
     rights: List[np.ndarray] = []
     idx = 0
     n = raw.size
+    dt = ">i4" if pos_bytes == 4 else ">i8"
     signed = raw.view(np.int8)  # Java bytes are signed; stored value = x - 128
     while idx < n:
-        left0 = int(raw[idx: idx + 4].copy().view(">i4")[0])
-        followers = int(signed[idx + 4]) + 128
-        width0 = int(signed[idx + 5]) + 128
-        idx += 6
+        left0 = int(raw[idx: idx + pos_bytes].copy().view(dt)[0])
+        followers = int(signed[idx + pos_bytes]) + 128
+        width0 = int(signed[idx + pos_bytes + 1]) + 128
+        idx += pos_bytes + 2
         diffs = signed[idx: idx + 2 * followers].astype(np.int64) + 128
         idx += 2 * followers
         gaps = diffs[0::2]

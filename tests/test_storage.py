@@ -97,3 +97,14 @@ def test_query_from_loaded_index(index_and_data):
     engine = QueryEngine(data, index=store.load())
     res = engine.query_at(2000, 400, 5.0)
     assert res.found and res.best()[0] == 2000
+
+
+def test_compact_positions_int64_long_variant():
+    """pos_bytes=8: the LongIndexNode codec for positions beyond 2**31."""
+    base = 3_000_000_000  # > int32
+    left = base + np.array([0, 300, 700, 100_000], np.int64)
+    right = left + np.array([10, 100, 255, 0], np.int64)
+    blob = codec.encode_positions_compact(left, right, pos_bytes=8)
+    l2, r2 = codec.decode_positions_compact(blob, pos_bytes=8)
+    np.testing.assert_array_equal(left, l2)
+    np.testing.assert_array_equal(right, r2)
