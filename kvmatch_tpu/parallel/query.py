@@ -127,6 +127,103 @@ def make_dense_query_step(icfg: IndexConfig, length: int, top_k: int = 2048,
     return jax.jit(step)
 
 
+def pack_segments_batch(segment_lists, scales: Tuple[int, ...]) -> DenseSegments:
+    """Stack per-query DenseSegments into leading-Q arrays for the batched step."""
+    packed = [pack_segments(s, scales) for s in segment_lists]
+    return DenseSegments(*[jnp.stack([getattr(p, f) for p in packed])
+                           for f in DenseSegments._fields])
+
+
+def make_dense_query_step_batched(icfg: IndexConfig, length: int,
+                                  top_k: int = 1024,
+                                  scales: Tuple[int, ...] | None = None):
+    """Single-device, MULTI-QUERY jittable step: phase 1 for a whole query batch
+    as one fused program (vmap of the dense probe over the query dimension).
+
+    Args: (data f32[n], bstack i32[S, n+pad], queries f32[Q, L],
+    segs DenseSegments with leading Q dims, eps2 f32[Q])
+    -> (counts i32[Q], offsets i32[Q, K], d2 f32[Q, K]).
+    """
+    scales = scales or tuple(icfg.scales)
+    unit = icfg.unit
+    slack = np.float32(icfg.probe_guard)
+
+    def step(data, bstack, queries, segs: DenseSegments, eps2):
+        n = data.shape[0]
+        m = n - length + 1
+        eps_acc = jax.vmap(
+            lambda sg: _dense_probe(bstack, sg, unit, icfg.d, n, slack))(segs)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        # top_k over masked scores gives each query's K candidate positions
+        # (jnp.nonzero is not vmappable; top-k by smallest accumulated bound is).
+        scores = jnp.where(mask, -eps_acc, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, top_k)
+        idx = jnp.minimum(idx.astype(jnp.int32), m - 1)
+
+        def one(q_row, idx_row):
+            x = jax.vmap(lambda o: jax.lax.dynamic_slice(data, (o,), (length,)))(idx_row)
+            diff = x - q_row[None, :]
+            return jnp.sum(diff * diff, axis=1)
+
+        d2 = jax.vmap(one)(queries, idx)
+        live = jnp.arange(top_k)[None, :] < jnp.minimum(counts, top_k)[:, None]
+        d2 = jnp.where(live, d2, jnp.inf)
+        return counts, idx, d2
+
+    return jax.jit(step)
+
+
+def make_sharded_query_step_batched(mesh: Mesh, icfg: IndexConfig, length: int,
+                                    top_k: int = 256,
+                                    scales: Tuple[int, ...] | None = None):
+    """Mesh-sharded multi-query step: offset-range sharding x query batching.
+
+    Each shard evaluates the dense probe for EVERY query over its own positions
+    (vmap over the query dim), verifies its local top-K per query, and emits
+    per-shard results; concatenating across shards is the candidate all-gather.
+    """
+    scales = scales or tuple(icfg.scales)
+    unit = icfg.unit
+    halo = length
+    slack = np.float32(icfg.probe_guard)
+    n_sh = mesh.devices.size
+
+    def per_shard(data, bstack, queries, segs: DenseSegments, eps2, n_total):
+        per = data.shape[0]
+        shard_id = jax.lax.axis_index(AXIS)
+        src_dst = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        data_h = jnp.concatenate([data, jax.lax.ppermute(data[:halo], AXIS, src_dst)])
+        b_h = jnp.concatenate(
+            [bstack, jax.lax.ppermute(bstack[:, :halo], AXIS, src_dst)], axis=1)
+        eps_acc = jax.vmap(
+            lambda sg: _dense_probe(b_h, sg, unit, icfg.d, per, slack))(segs)
+        gpos = shard_id * per + jnp.arange(per, dtype=jnp.int32)
+        mask = (eps_acc <= eps2[:, None]) & (gpos[None, :] < n_total - length + 1)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        scores = jnp.where(mask, -eps_acc, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, top_k)
+        idx = idx.astype(jnp.int32)
+
+        def one(q_row, idx_row):
+            x = jax.vmap(lambda o: jax.lax.dynamic_slice(data_h, (o,), (length,)))(idx_row)
+            diff = x - q_row[None, :]
+            return jnp.sum(diff * diff, axis=1)
+
+        d2 = jax.vmap(one)(queries, idx)
+        live = jnp.arange(top_k)[None, :] < jnp.minimum(counts, top_k)[:, None]
+        d2 = jnp.where(live, d2, jnp.inf)
+        totals = jax.lax.psum(counts, AXIS)
+        return totals, (shard_id * per + idx)[None], d2[None]
+
+    fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(AXIS), P(None, AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P(AXIS), P(AXIS)))
+    return jax.jit(fn)
+
+
 def make_sharded_query_step(mesh: Mesh, icfg: IndexConfig, length: int,
                             top_k: int = 1024,
                             scales: Tuple[int, ...] | None = None):

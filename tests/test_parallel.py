@@ -98,3 +98,43 @@ def test_sharded_query_matches_oracle(mesh, data):
     exact = [int(i) for i in got
              if np.sum((data[i:i + L] - q) ** 2) <= eps * eps]
     assert set(exact) == set(oo.tolist())
+
+
+def test_batched_sharded_query(mesh, data):
+    """Multi-query dense SPMD step: every query keeps its answers."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kvmatch_tpu.engine.base import _Ctx, QueryStats
+    from kvmatch_tpu.parallel.build import build_index_sharded
+    from kvmatch_tpu.parallel.query import (make_sharded_query_step_batched,
+                                            pack_segments_batch)
+    icfg = IndexConfig()
+    L, eps = 512, 6.0
+    index, stack = build_index_sharded(data, mesh, icfg)
+    engine = QueryEngine(data, index=index, icfg=icfg)
+    q_offs = [3000, 15000, 27000, 36000]
+    queries = np.stack([data[o:o + L] for o in q_offs])
+    seg_lists = []
+    for qrow in queries:
+        ctx = _Ctx(query=qrow, length=L, epsilon=eps, eps2=eps * eps, params={},
+                   stats=QueryStats())
+        seg_lists.append(engine._plan(ctx))
+    segs = pack_segments_batch(seg_lists, tuple(icfg.scales))
+
+    n_sh = mesh.devices.size
+    pad = (-data.size) % n_sh
+    padded = np.concatenate([data, np.zeros(pad)]) if pad else data
+    data_sh = jax.device_put(padded.astype(np.float32), NamedSharding(mesh, P("shard")))
+    step = make_sharded_query_step_batched(mesh, icfg, L, top_k=128)
+    eps2 = jnp.full(len(q_offs), eps * eps, jnp.float32)
+    totals, idx, d2 = step(data_sh, stack, jnp.asarray(queries, jnp.float32),
+                           segs, eps2, jnp.int32(data.size))
+    idx = np.asarray(idx)      # (n_sh, Q, K)
+    d2 = np.asarray(d2)
+    for qi, off in enumerate(q_offs):
+        got = idx[:, qi, :][d2[:, qi, :] <= eps * eps * (1 + 1e-3)]
+        oo, _ = oracle.rsm_ed(data, queries[qi], eps)
+        assert set(oo.tolist()) <= set(got.tolist()), f"query {qi} lost answers"
+        exact = [int(i) for i in set(got.tolist())
+                 if np.sum((data[i:i + L] - queries[qi]) ** 2) <= eps * eps]
+        assert set(exact) == set(oo.tolist())
