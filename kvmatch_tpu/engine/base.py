@@ -188,6 +188,12 @@ class BaseEngine:
         return self._center
 
     REGION_M = 512
+    # Cost-model knobs for gather-vs-region choice: the region path pays extra
+    # D2H for its (B, M) result matrices (not worth it for small candidate
+    # sets) and norm engines additionally have a cheap host prefilter that cuts
+    # the gather path's real traffic (REGION_BIAS > 1 accounts for it).
+    REGION_MIN_OFFSETS = 4096
+    REGION_BIAS = 2.0
 
     def _region_plan(self, cand_ivs, L: int):
         """Decide gather vs region path from HBM-traffic estimates and, for the
@@ -197,7 +203,8 @@ class BaseEngine:
         n_offsets = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
         n_regions = sum(int(np.sum((r - l + 1 + M - 1) // M))
                         for l, r in cand_ivs if l.size)
-        if n_regions == 0 or n_regions * (M + L) * 2 >= n_offsets * L:
+        if (n_regions == 0 or n_offsets < self.REGION_MIN_OFFSETS
+                or n_regions * (M + L) * self.REGION_BIAS >= n_offsets * L):
             return None
         starts, vfrom, vto, qids = [], [], [], []
         for qi, (l, r) in enumerate(cand_ivs):

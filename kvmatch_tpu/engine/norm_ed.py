@@ -35,6 +35,9 @@ from .base import BaseEngine, _Ctx
 
 class NormQueryEngine(BaseEngine):
     payloads = ("eps", "ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta")
+    # The host constraint prefilter makes the scattered path much cheaper than
+    # raw traffic suggests; demand a bigger region advantage before switching.
+    REGION_BIAS = 12.0
     use_dtw_cost_model = True  # reference uses the DTW-fit coefficients here
                                # (NormQueryEngine.java:52-54)
 
