@@ -143,6 +143,38 @@ def cmd_oracle(args) -> int:
     return 0
 
 
+def cmd_workload(args) -> int:
+    """Generate and replay a selectivity-binned workload
+    (the *GroupBySelectivity experiment drivers)."""
+    import importlib
+    from .config import IndexConfig
+    from .experiments import generate_workload, run_workload, save_workload
+    from .storage.file import IndexNpzStore
+    data = _load_data(args.data)
+    mod, cls = _ENGINES[args.engine]
+    Engine = getattr(importlib.import_module(f"kvmatch_tpu.{mod}"), cls)
+    index = IndexNpzStore(args.index).load() if args.index else None
+    engine = Engine(data, index=index, icfg=IndexConfig())
+    grid = [{}]
+    if "cnsm" in args.engine:
+        grid = [{"alpha": args.alpha, "beta": args.beta}]
+    if "dtw" in args.engine:
+        for g in grid:
+            g["rho"] = int(0.05 * max(args.lengths))
+    wl = generate_workload(engine, args.lengths, args.epsilons,
+                           queries_per_cell=args.per_cell, seed=args.seed,
+                           param_grid=grid)
+    if args.save:
+        save_workload(wl, args.save)
+    print(f"workload: {len(wl)} selective queries")
+    for r in run_workload(engine, wl):
+        print(f"bin {r.bin_label}: n={r.n_queries} T={r.mean_t_ms:.1f}ms "
+              f"T1={r.mean_t1_ms:.1f} T2={r.mean_t2_ms:.1f} "
+              f"cand={r.mean_candidates:.0f} ans={r.mean_answers:.1f} "
+              f"missed={r.false_dismissals}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kvmatch_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -183,6 +215,19 @@ def main(argv=None) -> int:
     o.add_argument("beta", type=float, nargs="?", default=0.0)
     o.add_argument("--rho", type=float, default=0.05)
     o.set_defaults(fn=cmd_oracle)
+
+    w = sub.add_parser("workload")
+    w.add_argument("data")
+    w.add_argument("--engine", choices=sorted(_ENGINES), default="rsm-ed")
+    w.add_argument("--lengths", type=int, nargs="+", default=[256, 1024])
+    w.add_argument("--epsilons", type=float, nargs="+", default=[2.0, 8.0])
+    w.add_argument("--per-cell", type=int, default=5)
+    w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--alpha", type=float, default=1.5)
+    w.add_argument("--beta", type=float, default=10.0)
+    w.add_argument("--index")
+    w.add_argument("--save")
+    w.set_defaults(fn=cmd_workload)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -75,3 +75,12 @@ def test_stats_populated(setup):
     assert s.n_candidates >= s.n_answers
     assert s.n_scans >= 1 and s.n_segments_used >= 1
     assert s.t_total_ms > 0
+
+
+@pytest.mark.parametrize("length", [25, 113, 1037])
+def test_non_multiple_lengths(setup, length):
+    """L = 25 exactly and L not a multiple of the unit window: the DP covers
+    floor(L/25) units, phase 2 verifies the full L (reference semantics)."""
+    data, engine = setup
+    offset = 4321
+    _check(engine, data, offset, length, 3.0)
