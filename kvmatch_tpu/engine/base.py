@@ -128,15 +128,23 @@ class BaseEngine:
             return e, e, e
         i0, i1 = int(rows[0]), int(rows[-1]) + 1
         row_total = int(sc.row_ptr[i1] - sc.row_ptr[i0])
+        p_left, p_right, p_row = sc.pos_sorted()
         if ctx is not None and ctx.span is not None:
             lo, hi = ctx.span
-            p_left, p_right, p_row = sc.pos_sorted()
             a = np.searchsorted(p_left, lo - self.icfg.maximum_diff, side="left")
             b = np.searchsorted(p_left, hi, side="right")
             if (b - a) < row_total:
                 sl_row = p_row[a:b]
                 keep = (sl_row >= i0) & (sl_row < i1) & (p_right[a:b] >= lo)
                 return (sl_row[keep] - i0, p_left[a:b][keep], p_right[a:b][keep])
+        # A scale's intervals are mutually DISJOINT (every position has exactly
+        # one bucket), so the position-sorted view filtered to the probed rows is
+        # already sorted AND disjoint — avoiding the O(P log P) argsort that a
+        # per-row gather would need before intersection.  Use it whenever the
+        # selected fraction is large enough that a linear filter beats the sort.
+        if row_total * 16 > p_row.size:
+            keep = (p_row >= i0) & (p_row < i1)
+            return p_row[keep] - i0, p_left[keep], p_right[keep]
         counts = sc.row_ptr[rows + 1] - sc.row_ptr[rows]
         total = int(counts.sum())
         rep_rows = np.repeat(np.arange(rows.size), counts)

@@ -53,6 +53,11 @@ def merge_intervals(cs: Dict[str, np.ndarray], adjacent: bool = True) -> Dict[st
     k = left.size
     if k <= 1:
         return cs
+    # Fast path: already sorted and strictly disjoint (true for scans served by
+    # the position-sorted index view) — valid as-is for intersection; adjacent
+    # coalescing would only compact it.
+    if np.all(left[1:] > right[:-1]):
+        return cs
     order = np.argsort(left, kind="stable")
     left, right = left[order], right[order]
     # Group starts where this interval does not touch the running max end.
