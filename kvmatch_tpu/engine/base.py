@@ -211,8 +211,12 @@ class BaseEngine:
         n_offsets = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
         n_regions = sum(int(np.sum((r - l + 1 + M - 1) // M))
                         for l, r in cand_ivs if l.size)
+        # The region path pays a fixed FFT + sliding-sum + (B, M) result cost per
+        # region ROW regardless of how many offsets the row actually covers, so
+        # it only wins when regions are mostly full (long candidate runs).
         if (n_regions == 0 or n_offsets < self.REGION_MIN_OFFSETS
-                or n_regions * (M + L) * self.REGION_BIAS >= n_offsets * L):
+                or n_offsets < n_regions * (M // 4) * self.REGION_BIAS
+                or n_regions * (M + L) * 2 >= n_offsets * L):
             return None
         starts, vfrom, vto, qids = [], [], [], []
         for qi, (l, r) in enumerate(cand_ivs):
