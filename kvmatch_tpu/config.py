@@ -9,7 +9,7 @@ TimeSeriesNode.java:30).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 # The reference's window family: WuList with an enabled mask selecting
 # Sigma = {25, 50, 100, 200, 400} (QueryEngine.java:51-52).

@@ -27,7 +27,6 @@ from ..index.build import build_index_tpu
 from ..index.structure import Index, IndexScale
 from ..plan import QuerySegment
 from ..utils import intervals as iv
-from ..utils import rounding
 
 
 @dataclasses.dataclass

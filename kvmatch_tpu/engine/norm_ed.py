@@ -19,7 +19,6 @@ which preserves soundness under our vectorized merging.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Dict, List, Tuple
 

@@ -9,14 +9,12 @@ confirmation of near-threshold survivors.
 
 from __future__ import annotations
 
-import math
 from typing import List, Tuple
 
 import numpy as np
 
 from ..ops.dtw import dtw_banded_batch, dtw_banded_batch_f64, lb_keogh, lb_kim
 from ..plan import QuerySegment, determine_query_plan, envelope, unit_sums
-from ..utils import rounding
 from .. import verify as vf
 from .base import _Ctx
 from .rsm_ed import QueryEngine

@@ -18,7 +18,7 @@ reference stores 1-based `loc`, IndexBuilder.java:259).
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

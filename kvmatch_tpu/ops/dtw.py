@@ -29,7 +29,6 @@ host confirmation for near-threshold candidates.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

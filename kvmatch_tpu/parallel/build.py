@@ -15,8 +15,7 @@ same way, which also feeds the dense sharded query path (parallel/query.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

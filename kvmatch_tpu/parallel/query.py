@@ -21,16 +21,14 @@ candidate sets are truncated at K per shard (the returned count flags overflow).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import IndexConfig
-from ..plan import QuerySegment
 from .mesh import AXIS
 
 MAX_SEGMENTS = 30

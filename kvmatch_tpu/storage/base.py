@@ -10,7 +10,7 @@ file store remains for persistence/interop, the memory store for tests.
 
 from __future__ import annotations
 
-from typing import Protocol, Tuple
+from typing import Protocol
 
 import numpy as np
 

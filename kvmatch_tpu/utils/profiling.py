@@ -17,7 +17,6 @@ import contextlib
 import dataclasses
 import time
 from pathlib import Path
-from typing import Iterable, List, Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ gathers, and batch size is a tiling knob rather than an IO knob.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import numpy as np
 

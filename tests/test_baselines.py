@@ -1,6 +1,5 @@
 """Full-scan UCR baselines vs the float64 oracle."""
 
-import numpy as np
 import pytest
 
 from kvmatch_tpu import oracle

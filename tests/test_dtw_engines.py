@@ -1,6 +1,5 @@
 """Answer-set parity: RSM-DTW and cNSM-DTW engines vs the float64 oracle."""
 
-import numpy as np
 import pytest
 
 from kvmatch_tpu import oracle

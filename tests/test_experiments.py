@@ -1,8 +1,6 @@
 """Workload generation + replay drivers."""
 
-import numpy as np
-
-from kvmatch_tpu import QueryEngine, NormQueryEngine
+from kvmatch_tpu import NormQueryEngine, QueryEngine
 from kvmatch_tpu.config import IndexConfig
 from kvmatch_tpu.data.generators import generate_series
 from kvmatch_tpu.experiments import (generate_workload, load_workload,

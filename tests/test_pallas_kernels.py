@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from kvmatch_tpu.ops.ed import ed_distances, znorm_ed_distances
-from kvmatch_tpu.ops.pallas_ed import BLOCK, window_distances_pallas
+from kvmatch_tpu.ops.pallas_ed import window_distances_pallas
 
 INTERPRET = jax.default_backend() != "tpu"
 

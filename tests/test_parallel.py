@@ -14,7 +14,6 @@ from kvmatch_tpu.parallel.build import build_index_sharded
 from kvmatch_tpu.parallel.mesh import make_mesh
 from kvmatch_tpu.parallel.query import (
     make_dense_query_step, make_sharded_query_step, pack_bucket_stack, pack_segments)
-from kvmatch_tpu.plan import QuerySegment
 
 
 @pytest.fixture(scope="module")

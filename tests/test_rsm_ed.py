@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from kvmatch_tpu import oracle
-from kvmatch_tpu.config import IndexConfig, QueryConfig
+from kvmatch_tpu.config import IndexConfig
 from kvmatch_tpu.data.generators import generate_series
 from kvmatch_tpu.engine.rsm_ed import QueryEngine
 from kvmatch_tpu.index.build import build_index_tpu
