@@ -174,6 +174,22 @@ def cmd_workload(args) -> int:
     return 0
 
 
+def cmd_export_queries(args) -> int:
+    """Export query subsequences as raw binary files for external baselines
+    (GMatchQueryDataExtractor equivalent, experiments/GMatchQueryDataExtractor.java:32-89)."""
+    data = _load_data(args.data)
+    outdir = Path(args.out)
+    outdir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    for L in args.lengths:
+        for i in range(args.count):
+            off = int(rng.integers(0, data.size - L))
+            q = np.asarray(data[off:off + L], ">f8")
+            q.tofile(outdir / f"query-{L}-{i}-{off}")
+    print(f"exported {args.count * len(args.lengths)} queries to {outdir}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kvmatch_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -227,6 +243,14 @@ def main(argv=None) -> int:
     w.add_argument("--index")
     w.add_argument("--save")
     w.set_defaults(fn=cmd_workload)
+
+    x = sub.add_parser("export-queries")
+    x.add_argument("data")
+    x.add_argument("--out", default="queries")
+    x.add_argument("--lengths", type=int, nargs="+", default=[256, 1024, 8192])
+    x.add_argument("--count", type=int, default=10)
+    x.add_argument("--seed", type=int, default=0)
+    x.set_defaults(fn=cmd_export_queries)
 
     args = p.parse_args(argv)
     return args.fn(args)
