@@ -30,6 +30,15 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: the driver runs this in a fresh process, and
+    # every remote compile otherwise repeats (the dev tunnel makes that minutes).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_kvmatch")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     # Warm the device link first: the dev tunnel's first D2H transfer can take
