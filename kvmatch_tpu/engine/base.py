@@ -149,7 +149,12 @@ class BaseEngine:
         rep_rows = np.repeat(np.arange(rows.size), counts)
         offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
         flat = (np.arange(total) - np.repeat(offs, counts)) + np.repeat(sc.row_ptr[rows], counts)
-        return rep_rows, sc.left[flat], sc.right[flat]
+        left = sc.left[flat]
+        # Invariant: every scan returns intervals sorted by left (and disjoint,
+        # since a scale's intervals partition the positions).  The pos-sorted
+        # paths above are sorted for free; this small-selection fallback sorts.
+        order = np.argsort(left, kind="stable")
+        return rep_rows[order], left[order], sc.right[flat][order]
 
     def _cost_normalizer(self) -> float:
         """Total interval count of the w=100 index (or the closest enabled scale) —
@@ -168,6 +173,11 @@ class BaseEngine:
 
     def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
         raise NotImplementedError
+
+    def _intersect_native(self, cs, positions, ctx: _Ctx):
+        """Fused C two-pointer CS x CS_i step (native/interval_kernels.c); None
+        falls back to the vectorized NumPy intersection."""
+        return None
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx
                 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -269,8 +279,10 @@ class BaseEngine:
                 nxt = {k: v[keep] for k, v in positions.items()}
                 nxt["left"], nxt["right"] = left[keep], right[keep]
             else:
-                pieces, ia, ib = iv.intersect_with_sorted(cs, positions)
-                nxt = self._combine(pieces, cs, positions, ia, ib, ctx)
+                nxt = self._intersect_native(cs, positions, ctx)
+                if nxt is None:
+                    pieces, ia, ib = iv.intersect_with_sorted(cs, positions)
+                    nxt = self._combine(pieces, cs, positions, ia, ib, ctx)
 
             self._track_min_eps(nxt, ctx)
             cs = iv.merge_intervals(iv.shift(nxt, delta))

@@ -73,6 +73,10 @@ class QueryEngine(BaseEngine):
         return {"left": pieces["left"][keep], "right": pieces["right"][keep],
                 "eps": eps_sum[keep]}
 
+    def _intersect_native(self, cs, positions, ctx: _Ctx):
+        from .. import native
+        return native.intersect_ed(cs, positions, ctx.eps2)
+
     # ---------------------------------------------------------------- phase 2
     @functools.lru_cache(maxsize=8)
     def _kernel(self, length: int):

@@ -1,0 +1,132 @@
+"""Native runtime kernels (C, ctypes-bound), built lazily at first use.
+
+The compute path is JAX/XLA on the TPU; these kernels cover the *host runtime*
+hot loops around it — the phase-1 candidate-set intersection that the reference
+runs as Java two-pointer merges (QueryEngine.java:279-305).  Compilation uses the
+system C compiler into a per-user cache; if anything fails the engines fall back
+to the vectorized NumPy implementation (utils/intervals.py) transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).with_name("interval_kernels.c")
+_LIB = None
+_TRIED = False
+
+_I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_F64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_U64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+
+
+def _build() -> ctypes.CDLL | None:
+    src = _SRC.read_text()
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    cache = Path(os.environ.get("KVMATCH_NATIVE_CACHE",
+                                Path.home() / ".cache" / "kvmatch_native"))
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / f"interval_kernels_{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".so.tmp")
+        cmd = [os.environ.get("CC", "cc"), "-O3", "-march=native", "-shared",
+               "-fPIC", str(_SRC), "-o", str(tmp)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            try:  # retry without -march=native for odd toolchains
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        os.replace(tmp, so)
+    lib = ctypes.CDLL(str(so))
+    lib.intersect_ed.restype = ctypes.c_long
+    lib.intersect_ed.argtypes = [
+        ctypes.c_long, _I64, _I64, _F64,
+        ctypes.c_long, _I64, _I64, _F64,
+        ctypes.c_double, _I64, _I64, _F64]
+    lib.intersect_norm.restype = ctypes.c_long
+    lib.intersect_norm.argtypes = [
+        ctypes.c_long, _I64, _I64, _F64, _F64, _F64, _F64, _F64, _U64,
+        ctypes.c_long, _I64, _I64, _F64, _F64, _F64, _F64, _F64, _U64,
+        ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        _I64, _I64, _F64, _F64, _F64, _F64, _F64, _U64]
+    lib.merge_sorted_ed.restype = ctypes.c_long
+    lib.merge_sorted_ed.argtypes = [
+        ctypes.c_long, _I64, _I64, _F64, _I64, _I64, _F64]
+    return lib
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The compiled kernel library, or None if native is unavailable/disabled."""
+    global _LIB, _TRIED
+    if os.environ.get("KVMATCH_NO_NATIVE"):
+        return None
+    if not _TRIED:
+        _TRIED = True
+        try:
+            _LIB = _build()
+        except Exception:
+            _LIB = None
+    return _LIB
+
+
+def _c64(a) -> np.ndarray:
+    return np.ascontiguousarray(a, np.int64)
+
+
+def _cf(a) -> np.ndarray:
+    return np.ascontiguousarray(a, np.float64)
+
+
+def intersect_ed(cs: dict, raw: dict, eps2: float):
+    """Fused sorted-x-sorted ED intersection + eps filter; returns a cs-style
+    dict or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    na, nb = cs["left"].size, raw["left"].size
+    cap = na + nb
+    ol = np.empty(cap, np.int64)
+    orr = np.empty(cap, np.int64)
+    oe = np.empty(cap, np.float64)
+    k = lib.intersect_ed(na, _c64(cs["left"]), _c64(cs["right"]), _cf(cs["eps"]),
+                         nb, _c64(raw["left"]), _c64(raw["right"]), _cf(raw["eps"]),
+                         eps2, ol, orr, oe)
+    return {"left": ol[:k], "right": orr[:k], "eps": oe[:k]}
+
+
+def intersect_norm(cs: dict, raw: dict, eps2: float, use_beta: bool,
+                   use_std: bool, unit: int, qlen: int, p_units: int,
+                   alpha: float, beta: float, mu_q: float, sd_q: float):
+    lib = get_lib()
+    if lib is None:
+        return None
+    na, nb = cs["left"].size, raw["left"].size
+    cap = na + nb
+    out = {name: np.empty(cap, np.uint64 if name == "beta" else
+                          (np.int64 if name in ("left", "right") else np.float64))
+           for name in ("left", "right", "eps", "ex_lo", "ex2_lo",
+                        "ex_up", "ex2_up", "beta")}
+    k = lib.intersect_norm(
+        na, _c64(cs["left"]), _c64(cs["right"]), _cf(cs["eps"]),
+        _cf(cs["ex_lo"]), _cf(cs["ex2_lo"]), _cf(cs["ex_up"]), _cf(cs["ex2_up"]),
+        np.ascontiguousarray(cs["beta"], np.uint64),
+        nb, _c64(raw["left"]), _c64(raw["right"]), _cf(raw["eps"]),
+        _cf(raw["ex_lo"]), _cf(raw["ex2_lo"]), _cf(raw["ex_up"]), _cf(raw["ex2_up"]),
+        np.ascontiguousarray(raw["beta"], np.uint64),
+        eps2, int(use_beta), int(use_std),
+        float(unit), float(qlen), float(p_units),
+        alpha, beta, mu_q, sd_q,
+        out["left"], out["right"], out["eps"],
+        out["ex_lo"], out["ex2_lo"], out["ex_up"], out["ex2_up"], out["beta"])
+    return {name: a[:k] for name, a in out.items()}

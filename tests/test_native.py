@@ -1,0 +1,71 @@
+"""Native C interval kernels vs the NumPy path: identical candidate sets."""
+
+import numpy as np
+import pytest
+
+from kvmatch_tpu import native
+from kvmatch_tpu.config import IndexConfig
+from kvmatch_tpu.data.generators import generate_series
+from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+from kvmatch_tpu.engine.rsm_ed import QueryEngine
+from kvmatch_tpu.index.build import build_index_numpy
+
+N = 40_000
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = generate_series(N, seed=41)
+    index = build_index_numpy(data, IndexConfig())
+    return data, index
+
+
+def _answers(engine, data, off, L, eps, **params):
+    res = engine.query_at(off, L, eps, **params)
+    return set(res.offsets.tolist()), res.stats.n_candidates
+
+
+def test_native_lib_builds():
+    assert native.get_lib() is not None, "C kernel compilation failed"
+
+
+def test_rsm_native_matches_numpy(setup, monkeypatch):
+    data, index = setup
+    eng = QueryEngine(data, index=index)
+    cases = [(1000, 512, 5.0), (22000, 1024, 12.0), (9000, 256, 2.0)]
+    with_native = [_answers(eng, data, *c) for c in cases]
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    without = [_answers(eng, data, *c) for c in cases]
+    assert with_native == without
+
+
+def test_norm_native_matches_numpy(setup, monkeypatch):
+    data, index = setup
+    eng = NormQueryEngine(data, index=index)
+    cases = [(2000, 512, 3.0), (15000, 1024, 5.0)]
+    kw = dict(alpha=1.3, beta=10.0)
+    with_native = [_answers(eng, data, *c, **kw) for c in cases]
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    without = [_answers(eng, data, *c, **kw) for c in cases]
+    # answer sets must be identical; candidate counts may differ slightly only
+    # if filters fire in different float orders — require equality here too.
+    assert with_native == without
+
+
+def test_intersect_ed_unit():
+    lib = native.get_lib()
+    assert lib is not None
+    cs = {"left": np.array([0, 10, 30], np.int64),
+          "right": np.array([5, 20, 35], np.int64),
+          "eps": np.array([1.0, 2.0, 3.0])}
+    raw = {"left": np.array([3, 18, 36], np.int64),
+           "right": np.array([12, 32, 40], np.int64),
+           "eps": np.array([0.5, 0.5, 0.5])}
+    out = native.intersect_ed(cs, raw, eps2=100.0)
+    # pieces: [3,5](1.5), [10,12](2.5), [18,20](2.5), [30,32](3.5)
+    np.testing.assert_array_equal(out["left"], [3, 10, 18, 30])
+    np.testing.assert_array_equal(out["right"], [5, 12, 20, 32])
+    np.testing.assert_allclose(out["eps"], [1.5, 2.5, 2.5, 3.5])
+    # budget filter
+    out = native.intersect_ed(cs, raw, eps2=2.0)
+    np.testing.assert_array_equal(out["left"], [3])
