@@ -156,6 +156,41 @@ class BaseEngine:
         order = np.argsort(left, kind="stable")
         return rep_rows[order], left[order], sc.right[flat][order]
 
+    def _scan_fill(self, sc: IndexScale, rows: np.ndarray, ctx: "_Ctx",
+                   row_payloads: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Emit the probed rows' intervals with per-row payload columns attached.
+
+        Uses the fused native walk over the position-sorted view when available
+        (native/interval_kernels.c scan_fill); otherwise expands payloads through
+        the NumPy gather path.  Output is sorted by left and disjoint."""
+        cols = tuple(row_payloads)
+        if rows.size == 0:
+            return iv.empty_set(cols)
+        i0, i1 = int(rows[0]), int(rows[-1]) + 1
+        p_left, p_right, p_row = sc.pos_sorted()
+        row_total = int(sc.row_ptr[i1] - sc.row_ptr[i0])
+        a, b, min_right = 0, int(p_row.size), 0
+        span_ok = False
+        if ctx is not None and ctx.span is not None:
+            lo, hi = ctx.span
+            a2 = int(np.searchsorted(p_left, lo - self.icfg.maximum_diff, side="left"))
+            b2 = int(np.searchsorted(p_left, hi, side="right"))
+            if (b2 - a2) < row_total:
+                a, b, min_right = a2, b2, int(lo)
+                span_ok = True
+        use_native = span_ok or row_total * 16 > p_row.size
+        if use_native:
+            from .. import native
+            res = native.scan_fill(p_left, p_right, p_row, a, b, i0, i1,
+                                   min_right, row_payloads)
+            if res is not None:
+                return res
+        rep_rows, left, right = self._gather_rows(sc, rows, ctx)
+        out = {"left": left, "right": right}
+        for name, colv in row_payloads.items():
+            out[name] = colv[rep_rows]
+        return out
+
     def _cost_normalizer(self) -> float:
         """Total interval count of the w=100 index (or the closest enabled scale) —
         the denominator of the DP's log-selectivity (QueryEngine.java:409)."""

@@ -159,11 +159,9 @@ class NormQueryEngine(BaseEngine):
         inside = (pb[None, :] <= key[:, None]) & (key[:, None] <= pe[None, :])
         bits = (inside.astype(np.uint64) << np.arange(pb.size, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64)
-        rep_rows, left, right = self._gather_rows(sc, rows, ctx)
-        return {"left": left, "right": right, "eps": eps_row[rep_rows],
-                "ex_lo": ex_lo[rep_rows], "ex2_lo": ex2_lo[rep_rows],
-                "ex_up": ex_up[rep_rows], "ex2_up": ex2_up[rep_rows],
-                "beta": bits[rep_rows]}
+        return self._scan_fill(sc, rows, ctx, {
+            "eps": eps_row, "ex_lo": ex_lo, "ex2_lo": ex2_lo,
+            "ex_up": ex_up, "ex2_up": ex2_up, "beta": bits})
 
     def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
         eps_sum = a["eps"][ia] + b["eps"][ib]

@@ -64,8 +64,7 @@ class QueryEngine(BaseEngine):
         # (getDistanceLowerBound, QueryEngine.java:578-591).
         delta = np.maximum(np.maximum(lo - seg.mean_hi, seg.mean_lo - hi), 0.0)
         eps_row = seg.w * delta * delta
-        rep_rows, left, right = self._gather_rows(sc, rows, ctx)
-        return {"left": left, "right": right, "eps": eps_row[rep_rows]}
+        return self._scan_fill(sc, rows, ctx, {"eps": eps_row})
 
     def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
         eps_sum = a["eps"][ia] + b["eps"][ib]

@@ -63,6 +63,13 @@ def _build() -> ctypes.CDLL | None:
     lib.merge_sorted_ed.restype = ctypes.c_long
     lib.merge_sorted_ed.argtypes = [
         ctypes.c_long, _I64, _I64, _F64, _I64, _I64, _F64]
+    lib.scan_fill.restype = ctypes.c_long
+    lib.scan_fill.argtypes = [
+        ctypes.c_long, _I64, _I64, _I64,
+        ctypes.c_long, ctypes.c_long, ctypes.c_int64,
+        _F64, _F64, _F64, _F64, _F64, _U64,
+        ctypes.c_int,
+        _I64, _I64, _F64, _F64, _F64, _F64, _F64, _U64]
     return lib
 
 
@@ -130,3 +137,49 @@ def intersect_norm(cs: dict, raw: dict, eps2: float, use_beta: bool,
         out["left"], out["right"], out["eps"],
         out["ex_lo"], out["ex2_lo"], out["ex_up"], out["ex2_up"], out["beta"])
     return {name: a[:k] for name, a in out.items()}
+
+
+_EMPTY_F = np.empty(0, np.float64)
+_EMPTY_U = np.empty(0, np.uint64)
+
+
+def scan_fill(p_left, p_right, p_row, a: int, b: int, i0: int, i1: int,
+              min_right: int, row_payloads: dict):
+    """Fused segment scan over pos-sorted slice [a, b); returns interval dict or
+    None when native is unavailable.  ``row_payloads`` maps column name to a
+    per-row array of length i1-i0 ('eps' required)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    np_ = b - a
+    norm = "ex_lo" in row_payloads
+    ncols = 6 if norm else 1
+    cap = int(np_)
+    ol = np.empty(cap, np.int64)
+    orr = np.empty(cap, np.int64)
+    oe = np.empty(cap, np.float64)
+    if norm:
+        o_exlo = np.empty(cap, np.float64)
+        o_ex2lo = np.empty(cap, np.float64)
+        o_exup = np.empty(cap, np.float64)
+        o_ex2up = np.empty(cap, np.float64)
+        o_beta = np.empty(cap, np.uint64)
+    else:
+        o_exlo = o_ex2lo = o_exup = o_ex2up = _EMPTY_F
+        o_beta = _EMPTY_U
+    k = lib.scan_fill(
+        np_, _c64(p_left[a:b]), _c64(p_right[a:b]), _c64(p_row[a:b]),
+        i0, i1, min_right,
+        _cf(row_payloads["eps"]),
+        _cf(row_payloads.get("ex_lo", _EMPTY_F)) if norm else _EMPTY_F,
+        _cf(row_payloads.get("ex2_lo", _EMPTY_F)) if norm else _EMPTY_F,
+        _cf(row_payloads.get("ex_up", _EMPTY_F)) if norm else _EMPTY_F,
+        _cf(row_payloads.get("ex2_up", _EMPTY_F)) if norm else _EMPTY_F,
+        np.ascontiguousarray(row_payloads.get("beta", _EMPTY_U), np.uint64)
+        if norm else _EMPTY_U,
+        ncols, ol, orr, oe, o_exlo, o_ex2lo, o_exup, o_ex2up, o_beta)
+    out = {"left": ol[:k], "right": orr[:k], "eps": oe[:k]}
+    if norm:
+        out.update(ex_lo=o_exlo[:k], ex2_lo=o_ex2lo[:k],
+                   ex_up=o_exup[:k], ex2_up=o_ex2up[:k], beta=o_beta[:k])
+    return out

@@ -148,3 +148,41 @@ long merge_sorted_ed(
     ol[k] = cl; orr[k] = cr; oe[k] = ce; k++;
     return k;
 }
+
+/* Fused segment scan: walk a slice of the position-sorted interval view and
+ * emit the intervals belonging to rows [i0, i1) together with their per-row
+ * payload columns (scanIndex, QueryEngine.java:504-518 / NormQueryEngine.java:
+ * 672-701, minus the KV-store round trip).  Output is sorted by left because
+ * the input view is.  Row payload arrays are indexed by (row - i0).
+ * ncols: 1 = eps only (RSM), 6 = eps + Ex/Ex2 tracks + beta (cNSM).
+ * min_right: only emit intervals with right >= min_right (span filtering).
+ * Returns the interval count; capacity np_. */
+long scan_fill(
+    long np_, const int64_t *pl, const int64_t *pr, const int64_t *prow,
+    long i0, long i1, int64_t min_right,
+    const double *row_eps, const double *row_exlo, const double *row_ex2lo,
+    const double *row_exup, const double *row_ex2up, const uint64_t *row_beta,
+    int ncols,
+    int64_t *ol, int64_t *orr, double *oe,
+    double *o_exlo, double *o_ex2lo, double *o_exup, double *o_ex2up,
+    uint64_t *o_beta)
+{
+    long k = 0;
+    for (long t = 0; t < np_; t++) {
+        long r = prow[t];
+        if (r < i0 || r >= i1 || pr[t] < min_right) continue;
+        long ri = r - i0;
+        ol[k] = pl[t];
+        orr[k] = pr[t];
+        oe[k] = row_eps[ri];
+        if (ncols > 1) {
+            o_exlo[k] = row_exlo[ri];
+            o_ex2lo[k] = row_ex2lo[ri];
+            o_exup[k] = row_exup[ri];
+            o_ex2up[k] = row_ex2up[ri];
+            o_beta[k] = row_beta[ri];
+        }
+        k++;
+    }
+    return k;
+}
