@@ -104,6 +104,19 @@ def main() -> int:
     nfound = sum(1 for o, r in zip(offs2, nres) if int(o) in r.offsets.tolist())
     assert nfound == nq2, f"batched cNSM-ED lost {nq2 - nfound} self-answers"
 
+    # --- RSM-DTW single-query latency ---------------------------------------
+    from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+    deng = QueryEngineDtw(data, index=index, icfg=icfg,
+                          device_data=engine.data_dev)
+    dtw_L, rho = 1024, 51
+    deng.query_at(demo_off, dtw_L, 6.0, rho=rho)  # warmup
+    dt = []
+    for _ in range(3):
+        r = deng.query_at(demo_off, dtw_L, 6.0, rho=rho)
+        dt.append(r.stats.t_total_ms)
+    rsm_dtw_ms = statistics.median(dt)
+    assert int(r.offsets[0]) == demo_off
+
     out = {
         "metric": "RSM-ED demo query latency (n=1e6, L=8192, eps=10, self-query)",
         "value": round(demo_ms, 2),
@@ -117,6 +130,7 @@ def main() -> int:
             "cnsm_ed_batch_qps": round(cnsm_qps, 1),
             "rsm_ed_batch_speedup_vs_ref_demo_rate": round(
                 rsm_qps / (1000.0 / BASELINE_DEMO_MS), 1),
+            "rsm_dtw_query_ms": round(rsm_dtw_ms, 1),
             "n": n,
             "device": str(jax.devices()[0]),
         },
