@@ -88,6 +88,10 @@ def main() -> int:
         rsm_qps = max(rsm_qps, nq / (time.perf_counter() - t0))
     found = sum(1 for o, r in zip(offs, batch_res) if int(o) in r.offsets.tolist())
     assert found == nq, f"batched RSM-ED lost {nq - found} self-answers"
+    rsm_p1_ms = float(np.mean([r.stats.t_phase1_ms for r in batch_res]))
+    rsm_p2_ms = float(np.mean([r.stats.t_phase2_ms for r in batch_res]))
+    rsm_cands = int(np.sum([r.stats.n_candidates for r in batch_res]))
+    rsm_near = int(np.sum([r.stats.n_host_rechecked for r in batch_res]))
 
     # --- batched cNSM-ED throughput -----------------------------------------
     neng = NormQueryEngine(data, index=index, icfg=icfg,
@@ -131,6 +135,10 @@ def main() -> int:
             "rsm_ed_batch_speedup_vs_ref_demo_rate": round(
                 rsm_qps / (1000.0 / BASELINE_DEMO_MS), 1),
             "rsm_dtw_query_ms": round(rsm_dtw_ms, 1),
+            "rsm_batch_p1_ms": round(rsm_p1_ms, 2),
+            "rsm_batch_p2_ms": round(rsm_p2_ms, 2),
+            "rsm_batch_candidates": rsm_cands,
+            "rsm_batch_host_rechecked": rsm_near,
             "n": n,
             "device": str(jax.devices()[0]),
         },

@@ -49,7 +49,12 @@ class NormQueryEngine(BaseEngine):
         alpha = ctx.params["alpha"]
         beta = ctx.params["beta"]
         mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
-        r = ctx.epsilon * sd_q / math.sqrt(w)
+        # Budget-shrunk range: the accumulated z-space lower bound tightens the
+        # remaining per-segment allowance exactly like the RSM engines' range
+        # shrink (QueryEngine.java:200); the reference's norm engines use the
+        # full epsilon every time.  Sound by the same Jensen argument.
+        eps_eff = math.sqrt(max(ctx.eps2 - ctx.last_min_eps, 0.0))
+        r = eps_eff * sd_q / math.sqrt(w)
         lo = np.minimum(
             (1.0 / alpha) * mean_lo + (1 - 1.0 / alpha) * mu_q - beta - r / alpha,
             alpha * mean_lo + (1 - alpha) * mu_q - beta - alpha * r)
@@ -70,7 +75,8 @@ class NormQueryEngine(BaseEngine):
         if self.qcfg.enable_beta_partition:
             num = min(max(int(2.0 * beta / self.qcfg.beta_partition_width), 1), 64)
         width = 2.0 * beta / num
-        r = ctx.epsilon * sd_q / math.sqrt(w)
+        eps_eff = math.sqrt(max(ctx.eps2 - ctx.last_min_eps, 0.0))
+        r = eps_eff * sd_q / math.sqrt(w)
         k = np.arange(num)
         b_lo = -beta + width * k
         b_hi = -beta + width * (k + 1)
