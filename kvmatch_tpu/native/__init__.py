@@ -63,6 +63,10 @@ def _build() -> ctypes.CDLL | None:
     lib.merge_sorted_ed.restype = ctypes.c_long
     lib.merge_sorted_ed.argtypes = [
         ctypes.c_long, _I64, _I64, _F64, _I64, _I64, _F64]
+    lib.dtw_band_f64.restype = None
+    lib.dtw_band_f64.argtypes = [
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        _F64, _F64, _F64, _F64]
     lib.scan_fill.restype = ctypes.c_long
     lib.scan_fill.argtypes = [
         ctypes.c_long, _I64, _I64, _I64,
@@ -182,4 +186,18 @@ def scan_fill(p_left, p_right, p_row, a: int, b: int, i0: int, i1: int,
     if norm:
         out.update(ex_lo=o_exlo[:k], ex2_lo=o_ex2lo[:k],
                    ex_up=o_exup[:k], ex2_up=o_ex2up[:k], beta=o_beta[:k])
+    return out
+
+
+def dtw_band_f64(a_batch: np.ndarray, q: np.ndarray, r: int):
+    """Exact float64 banded DTW distances^2 for (B, L) windows, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a_batch = np.ascontiguousarray(a_batch, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    nb, m = a_batch.shape
+    out = np.empty(nb, np.float64)
+    work = np.empty(2 * (m + 2), np.float64)
+    lib.dtw_band_f64(nb, m, int(r), a_batch, q, out, work)
     return out

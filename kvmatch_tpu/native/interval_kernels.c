@@ -186,3 +186,43 @@ long scan_fill(
     }
     return k;
 }
+
+/* Exact float64 banded DTW (Sakoe-Chiba radius r) for a batch of candidate
+ * windows — the host confirmation kernel (semantics of DtwUtils.dtw,
+ * DtwUtils.java:269-337, without early abandon).  a: (nb, m) row-major windows,
+ * q: (m,) query, out: (nb,) squared distances.  work: scratch of 2*(m+2).
+ */
+void dtw_band_f64(
+    long nb, long m, long r,
+    const double *a, const double *q, double *out, double *work)
+{
+    double *prev = work;
+    double *cur = work + (m + 2);
+    const double INF = 1e300;
+    for (long b = 0; b < nb; b++) {
+        const double *x = a + b * m;
+        for (long j = 0; j <= m; j++) prev[j] = INF;
+        for (long i = 0; i < m; i++) {
+            long j_lo = i - r < 0 ? 0 : i - r;
+            long j_hi = i + r >= m ? m - 1 : i + r;
+            for (long j = 0; j <= m; j++) cur[j] = INF;
+            double run = INF;
+            for (long j = j_lo; j <= j_hi; j++) {
+                double d = x[i] - q[j];
+                d *= d;
+                double best;
+                if (i == 0 && j == 0) {
+                    best = 0.0;
+                } else {
+                    best = prev[j + 1];              /* vertical (i-1, j)   */
+                    if (j > 0 && prev[j] < best) best = prev[j];  /* diag  */
+                    if (run < best) best = run;      /* horizontal (i, j-1) */
+                }
+                run = best + d;
+                cur[j + 1] = run;
+            }
+            double *t = prev; prev = cur; cur = t;
+        }
+        out[b] = prev[m];
+    }
+}
