@@ -240,27 +240,25 @@ class BaseEngine:
         return self._center
 
     REGION_M = 512
-    # Cost-model knobs for gather-vs-region choice: the region path pays extra
-    # D2H for its (B, M) result matrices (not worth it for small candidate
-    # sets) and norm engines additionally have a cheap host prefilter that cuts
-    # the gather path's real traffic (REGION_BIAS > 1 accounts for it).
-    REGION_MIN_OFFSETS = 4096
-    REGION_BIAS = 2.0
+    # Gather-vs-region choice.  Measured on TPU: the per-candidate gather path
+    # moves L points per OFFSET at ~1% of HBM peak, while a region row moves
+    # M+L-1 points and one FFT (~ the cost of 2-3 candidate gathers).  So the
+    # region path wins whenever intervals average more than a few offsets;
+    # REGION_MIN_AVG sets that break-even (higher for the norm engines, whose
+    # scattered path is already cut down by the exact host constraint prefilter).
+    REGION_MIN_OFFSETS = 2048
+    REGION_MIN_AVG = 4.0
 
     def _region_plan(self, cand_ivs, L: int):
-        """Decide gather vs region path from HBM-traffic estimates and, for the
-        region path, pack all queries' intervals into fixed-M region rows."""
+        """Decide gather vs region path and, for the region path, pack all
+        queries' intervals into fixed-M region rows."""
         from ..ops.regions import pack_regions
         M = self.REGION_M
         n_offsets = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
         n_regions = sum(int(np.sum((r - l + 1 + M - 1) // M))
                         for l, r in cand_ivs if l.size)
-        # The region path pays a fixed FFT + sliding-sum + (B, M) result cost per
-        # region ROW regardless of how many offsets the row actually covers, so
-        # it only wins when regions are mostly full (long candidate runs).
         if (n_regions == 0 or n_offsets < self.REGION_MIN_OFFSETS
-                or n_offsets < n_regions * (M // 4) * self.REGION_BIAS
-                or n_regions * (M + L) * 2 >= n_offsets * L):
+                or n_offsets < n_regions * self.REGION_MIN_AVG):
             return None
         starts, vfrom, vto, qids = [], [], [], []
         for qi, (l, r) in enumerate(cand_ivs):
