@@ -173,6 +173,116 @@ def make_dense_query_step_batched(icfg: IndexConfig, length: int,
     return jax.jit(step)
 
 
+def _dense_probe_norm(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
+                      d: float, out_len: int, slack: float,
+                      alpha, beta, mu_q, sd_q, qlen: int):
+    """Dense cNSM probe: accumulate the z-space epsilon lower bound and the
+    Ex/Ex2 bound tracks for every candidate position (the elementwise form of
+    engine/norm_ed.py's _scan + _combine filters)."""
+    s_small = sd_q / alpha
+    s_big = alpha * sd_q
+
+    def body(s, carry):
+        acc, exlo, exup, ex2lo, punits = carry
+        brow = bstack[segs.scale_idx[s]]
+        shift = (segs.order[s] - 1) * unit
+        b = jax.lax.dynamic_slice(brow, (shift,), (out_len,)).astype(jnp.float32)
+        key_lo = b * np.float32(d) - slack
+        key_hi = key_lo + np.float32(d) + 2 * slack
+        n_lo = key_lo - (mu_q + beta)
+        n_hi = key_hi - (mu_q - beta)
+        z_lo = jnp.where(n_lo >= 0, n_lo / s_big, n_lo / s_small)
+        z_hi = jnp.where(n_hi >= 0, n_hi / s_small, n_hi / s_big)
+        zq_lo = (segs.mean_lo[s] - mu_q) / sd_q
+        zq_hi = (segs.mean_hi[s] - mu_q) / sd_q
+        delta = jnp.maximum(jnp.maximum(z_lo - zq_hi, zq_lo - z_hi), 0.0)
+        v = segs.valid[s]
+        k_units = segs.width[s] / unit
+        acc = acc + jnp.where(v, segs.width[s] * delta * delta, 0.0)
+        exlo = exlo + jnp.where(v, key_lo * k_units, 0.0)
+        exup = exup + jnp.where(v, key_hi * k_units, 0.0)
+        sq = jnp.where(key_lo > 0, key_lo * key_lo,
+                       jnp.where(key_hi < 0, key_hi * key_hi, 0.0))
+        ex2lo = ex2lo + jnp.where(v, sq * k_units, 0.0)
+        punits = punits + jnp.where(v, k_units, 0.0)
+        return acc, exlo, exup, ex2lo, punits
+
+    zero = jnp.zeros(out_len, jnp.float32) + 0.0 * bstack[0, :out_len].astype(jnp.float32)
+    acc, exlo, exup, ex2lo, punits = jax.lax.fori_loop(
+        0, MAX_SEGMENTS, body, (zero, zero, zero, zero, jnp.float32(0.0)))
+    punits = jnp.maximum(punits, 1.0)
+
+    # Derived-sigma filter at full coverage (engine/norm_ed.py _std_filter).
+    rest = qlen - punits * unit
+    limit = (alpha * sd_q) ** 2 + 1e-6
+    mean_lo = exlo / punits
+    mean_up = exup / punits
+    over = mean_lo > mu_q + beta
+    nv_o = mu_q + beta - (mean_lo - (mu_q + beta)) * punits * unit / jnp.maximum(rest, 1.0)
+    var_o = (ex2lo * unit + rest * nv_o * nv_o) / qlen - (mu_q + beta) ** 2
+    under = mean_up < mu_q - beta
+    nv_u = mu_q - beta + ((mu_q - beta) - mean_up) * punits * unit / jnp.maximum(rest, 1.0)
+    var_u = (ex2lo * unit + rest * nv_u * nv_u) / qlen - (mu_q - beta) ** 2
+    std_bad = jnp.where(rest > 0,
+                        (over & (var_o > limit)) | (under & (var_u > limit)),
+                        jnp.where(over, (mean_lo - (mu_q + beta)) ** 2 > limit,
+                                  jnp.where(under, ((mu_q - beta) - mean_up) ** 2 > limit,
+                                            False)))
+    return jnp.where(std_bad, jnp.inf, acc)
+
+
+def make_dense_query_step_norm_batched(icfg: IndexConfig, length: int,
+                                       top_k: int = 2048,
+                                       scales: Tuple[int, ...] | None = None):
+    """Single-device, multi-query cNSM step: dense z-space probe + std filter on
+    device, then guarded z-norm verification of each query's top-K candidates.
+
+    Args: (data f32[n], bstack i32[S, n+pad], queries_hat f32[Q, L] z-normalized,
+    segs DenseSegments (leading Q), eps2 f32[Q], cons f32[Q, 4] rows of
+    (alpha, beta, mu_q, sd_q)) -> (counts i32[Q], offsets i32[Q, K], d2 f32[Q, K],
+    mean f32[Q, K], std f32[Q, K]).
+    """
+    scales = scales or tuple(icfg.scales)
+    unit = icfg.unit
+    slack = np.float32(icfg.probe_guard)
+
+    def step(data, bstack, queries_hat, segs: DenseSegments, eps2, cons):
+        n = data.shape[0]
+        m = n - length + 1
+
+        def probe_one(sg, c):
+            return _dense_probe_norm(bstack, sg, unit, icfg.d, n, slack,
+                                     c[0], c[1], c[2], c[3], length)
+
+        eps_acc = jax.vmap(probe_one)(segs, cons)          # (Q, n)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        scores = jnp.where(mask, -eps_acc, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, top_k)
+        idx = jnp.minimum(idx.astype(jnp.int32), m - 1)
+
+        inv_l = np.float32(1.0 / length)
+
+        def verify_one(qh, idx_row):
+            x = jax.vmap(lambda o: jax.lax.dynamic_slice(data, (o,), (length,)))(idx_row)
+            mean = jnp.sum(x, axis=1) * inv_l
+            centered = x - mean[:, None]
+            var = jnp.sum(centered * centered, axis=1) * inv_l
+            std = jnp.sqrt(var)
+            safe = jnp.where(std > 0, std, 1.0)
+            zdiff = centered / safe[:, None] - qh[None, :]
+            d2 = jnp.sum(zdiff * zdiff, axis=1)
+            return jnp.where(std > 0, d2, jnp.inf), mean, std
+
+        d2, mean, std = jax.vmap(verify_one)(queries_hat, idx)
+        live = jnp.arange(top_k)[None, :] < jnp.minimum(counts, top_k)[:, None]
+        d2 = jnp.where(live, d2, jnp.inf)
+        return counts, idx, d2, mean, std
+
+    return jax.jit(step)
+
+
 def make_sharded_query_step_batched(mesh: Mesh, icfg: IndexConfig, length: int,
                                     top_k: int = 256,
                                     scales: Tuple[int, ...] | None = None):

@@ -137,3 +137,19 @@ def test_batched_sharded_query(mesh, data):
         exact = [int(i) for i in set(got.tolist())
                  if np.sum((data[i:i + L] - queries[qi]) ** 2) <= eps * eps]
         assert set(exact) == set(oo.tolist())
+
+
+def test_norm_device_batch_matches_host(data):
+    """query_batch_device (dense device probe) == host query_batch, exactly."""
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.index.build import build_index_numpy
+    icfg = IndexConfig()
+    engine = NormQueryEngine(data, index=build_index_numpy(data, icfg), icfg=icfg)
+    L, eps, a, b = 512, 3.0, 1.3, 12.0
+    q_offs = [2500, 14000, 30000]
+    queries = np.stack([data[o:o + L] for o in q_offs])
+    dev = engine.query_batch_device(queries, eps, alpha=a, beta=b, top_k=4096)
+    host = engine.query_batch(queries, eps, alpha=a, beta=b)
+    for qi, off in enumerate(q_offs):
+        assert set(dev[qi].offsets.tolist()) == set(host[qi].offsets.tolist())
+        assert off in dev[qi].offsets.tolist()
