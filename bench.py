@@ -106,6 +106,23 @@ def main() -> int:
         cnsm_qps = max(cnsm_qps, nq2 / (time.perf_counter() - t0))
     nfound = sum(1 for o, r in zip(offs2, nres) if int(o) in r.offsets.tolist())
 
+    # --- device-resident batched paths --------------------------------------
+    engine.query_batch_device(queries, eps)  # warmup/compile
+    dev_qps = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dres = engine.query_batch_device(queries, eps)
+        dev_qps = max(dev_qps, nq / (time.perf_counter() - t0))
+    dev_found = sum(1 for o, r in zip(offs, dres) if int(o) in r.offsets.tolist())
+
+    neng.query_batch_device(q2, 4.0, alpha=1.2, beta=5.0)  # warmup
+    ndev_qps = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ndres = neng.query_batch_device(q2, 4.0, alpha=1.2, beta=5.0)
+        ndev_qps = max(ndev_qps, nq2 / (time.perf_counter() - t0))
+    ndev_found = sum(1 for o, r in zip(offs2, ndres) if int(o) in r.offsets.tolist())
+
     # --- RSM-DTW single-query latency ---------------------------------------
     from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
     deng = QueryEngineDtw(data, index=index, icfg=icfg,
@@ -133,6 +150,8 @@ def main() -> int:
             "rsm_ed_batch_speedup_vs_ref_demo_rate": round(
                 rsm_qps / (1000.0 / BASELINE_DEMO_MS), 1),
             "rsm_dtw_query_ms": round(rsm_dtw_ms, 1),
+            "rsm_ed_device_batch_qps": round(dev_qps, 1),
+            "cnsm_ed_device_batch_qps": round(ndev_qps, 1),
             "rsm_batch_p1_ms": round(rsm_p1_ms, 2),
             "rsm_batch_p2_ms": round(rsm_p2_ms, 2),
             "rsm_batch_candidates": rsm_cands,
@@ -143,6 +162,8 @@ def main() -> int:
                 "demo_exact": demo_ok,
                 "rsm_batch_self_found": f"{found}/{nq}",
                 "cnsm_batch_self_found": f"{nfound}/{nq2}",
+                "rsm_device_self_found": f"{dev_found}/{nq}",
+                "cnsm_device_self_found": f"{ndev_found}/{nq2}",
                 "dtw_self_found": dtw_ok,
             },
         },

@@ -153,3 +153,17 @@ def test_norm_device_batch_matches_host(data):
     for qi, off in enumerate(q_offs):
         assert set(dev[qi].offsets.tolist()) == set(host[qi].offsets.tolist())
         assert off in dev[qi].offsets.tolist()
+
+
+def test_rsm_device_batch_matches_host(data):
+    from kvmatch_tpu.index.build import build_index_numpy
+    icfg = IndexConfig()
+    engine = QueryEngine(data, index=build_index_numpy(data, icfg), icfg=icfg)
+    L, eps = 512, 6.0
+    q_offs = [2000, 17000, 33000]
+    queries = np.stack([data[o:o + L] for o in q_offs])
+    dev = engine.query_batch_device(queries, eps, top_k=4096)
+    host = engine.query_batch(queries, eps)
+    for qi, off in enumerate(q_offs):
+        assert set(dev[qi].offsets.tolist()) == set(host[qi].offsets.tolist())
+        assert off in dev[qi].offsets.tolist()
