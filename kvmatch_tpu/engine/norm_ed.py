@@ -382,9 +382,27 @@ class NormQueryEngine(BaseEngine):
         region = self._region_plan(cand_ivs, L)
 
         if region is not None:
-            from ..ops.regions import region_znorm_distances_multi
+            from ..ops.regions import (region_znorm_distances_multi,
+                                       region_znorm_near_multi)
             starts, vfrom, vto, qids = region
             M = self.REGION_M
+            cons = np.stack([[c.params["alpha"], c.params["beta"],
+                              c.params["_mu_q"], c.params["_sd_q"],
+                              1e-3 * (1.0 + abs(c.params["_mu_q"])
+                                      + c.params["_sd_q"])] for c in ctxs])
+            cons_dev = jnp.asarray(cons, jnp.float32)
+            th_dev = jnp.asarray(threshs, jnp.float32)
+            NEAR_K = 16384
+            near = vf.run_region_near(
+                lambda s_, q_, vf_, vt_: region_znorm_near_multi(
+                    data_dev, qm, s_, q_, vf_, vt_, th_dev, cons_dev,
+                    L, M, NEAR_K),
+                starts, vfrom, vto, qids, NEAR_K)
+            if near is not None:
+                near_off, near_qid = near
+                return [self._confirm_znorm_exact(
+                    np.sort(near_off[near_qid == qi]), ctx)
+                    for qi, ctx in enumerate(ctxs)]
             d2, mu, sd, derr = vf.run_bucketed(
                 lambda s_, q_: region_znorm_distances_multi(
                     data_dev, qm, s_, q_, L, M),

@@ -181,12 +181,24 @@ class QueryEngine(BaseEngine):
         data_dev = self.data_dev
 
         if region is not None:
-            from ..ops.regions import region_ed_distances_multi
+            from ..ops.regions import (region_ed_distances_multi,
+                                       region_ed_near_multi)
             starts, vfrom, vto, qids = region
             c = np.float32(self._data_center())
             qm = jnp.asarray(np.stack([ctx.query for ctx in ctxs]) - float(c),
                              jnp.float32)
             M = self.REGION_M
+            th_dev = jnp.asarray(threshs, jnp.float32)
+            NEAR_K = 16384
+            near = vf.run_region_near(
+                lambda s_, q_, vf_, vt_: region_ed_near_multi(
+                    data_dev, qm, s_, q_, vf_, vt_, th_dev, L, M, NEAR_K, c),
+                starts, vfrom, vto, qids, NEAR_K)
+            if near is not None:
+                near_off, near_qid = near
+                return [self._confirm_ed(np.sort(near_off[near_qid == qi]), ctx)
+                        for qi, ctx in enumerate(ctxs)]
+            # Overflowed the on-device near cap: full-matrix fallback.
             d2, err = vf.run_bucketed(
                 lambda s_, q_: region_ed_distances_multi(
                     data_dev, qm, s_, q_, L, M, c),

@@ -188,6 +188,55 @@ def region_znorm_distances_multi(data: jnp.ndarray, queries_hat: jnp.ndarray,
     return d2, mean, std, err
 
 
+@functools.partial(jax.jit, static_argnames=("length", "m_per_region", "near_k"))
+def region_ed_near_multi(data: jnp.ndarray, queries_centered: jnp.ndarray,
+                         starts: jnp.ndarray, qids: jnp.ndarray,
+                         vfrom: jnp.ndarray, vto: jnp.ndarray,
+                         threshs: jnp.ndarray,
+                         length: int, m_per_region: int, near_k: int,
+                         center=np.float32(0.0)):
+    """Region ED with ON-DEVICE near-set selection: returns (count, rows, cols)
+    of at most ``near_k`` offsets whose guarded d2 is under the per-query
+    threshold.  D2H shrinks from (B, M) matrices to the (typically tiny)
+    survivor list — decisive under a slow host link, free on real hardware."""
+    d2, err = region_ed_distances_multi(data, queries_centered, starts, qids,
+                                        length, m_per_region, center)
+    col = jnp.arange(m_per_region)[None, :]
+    near = ((col >= vfrom[:, None]) & (col < vto[:, None])
+            & (d2 <= threshs[qids][:, None] + err))
+    count = jnp.sum(near.astype(jnp.int32))
+    (flat,) = jnp.nonzero(near.ravel(), size=near_k, fill_value=0)
+    return count, (flat // m_per_region).astype(jnp.int32), \
+        (flat % m_per_region).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "m_per_region", "near_k"))
+def region_znorm_near_multi(data: jnp.ndarray, queries_hat: jnp.ndarray,
+                            starts: jnp.ndarray, qids: jnp.ndarray,
+                            vfrom: jnp.ndarray, vto: jnp.ndarray,
+                            threshs: jnp.ndarray, cons: jnp.ndarray,
+                            length: int, m_per_region: int, near_k: int):
+    """Z-norm region kernel with on-device constraint + near-set selection;
+    ``cons`` rows are (alpha, beta, mu_q, sd_q, cg) per query."""
+    d2, mean, std, err = region_znorm_distances_multi(
+        data, queries_hat, starts, qids, length, m_per_region)
+    a = cons[qids, 0][:, None]
+    b = cons[qids, 1][:, None]
+    mq = cons[qids, 2][:, None]
+    sq = cons[qids, 3][:, None]
+    cg = cons[qids, 4][:, None]
+    ratio = std / sq
+    ok = ((jnp.abs(mean - mq) <= b + cg) & (ratio <= a + cg)
+          & (ratio >= 1.0 / a - cg) & (std > 0))
+    col = jnp.arange(m_per_region)[None, :]
+    near = (ok & (col >= vfrom[:, None]) & (col < vto[:, None])
+            & (d2 <= threshs[qids][:, None] + err))
+    count = jnp.sum(near.astype(jnp.int32))
+    (flat,) = jnp.nonzero(near.ravel(), size=near_k, fill_value=0)
+    return count, (flat // m_per_region).astype(jnp.int32), \
+        (flat % m_per_region).astype(jnp.int32)
+
+
 def pack_regions(left: np.ndarray, right: np.ndarray, n: int, length: int,
                  m_per_region: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Split candidate intervals into fixed-M region rows.

@@ -74,3 +74,39 @@ def device_distances(offsets: np.ndarray, batch: int,
 def guard_threshold(eps2: float, length: int, guard: float) -> float:
     """Absolute guard-band width above eps^2 for f32 device distances."""
     return guard * (eps2 + 1.0) + 1e-4 * length
+
+
+def run_region_near(kernel: Callable, starts: np.ndarray, vfrom: np.ndarray,
+                    vto: np.ndarray, qids: np.ndarray, near_k: int,
+                    lo: int = 32, hi: int = 2048):
+    """Drive an on-device near-selection region kernel over bucket-padded chunks.
+
+    ``kernel(starts, qids, vfrom, vto) -> (count, rows, cols)`` with rows/cols
+    chunk-local.  Padding rows carry vfrom=vto=0 so they match nothing.  Returns
+    (near_offsets, near_qids) or None if any chunk overflowed ``near_k`` (the
+    caller then falls back to the full-matrix path)."""
+    m = starts.size
+    batch = bucket_size(m, lo, hi)
+    pad = (-m) % batch
+    if pad:
+        z = np.zeros(pad, np.int64)
+        starts = np.concatenate([starts, z])
+        qids = np.concatenate([qids, np.zeros(pad, qids.dtype)])
+        vfrom = np.concatenate([vfrom, z])
+        vto = np.concatenate([vto, z])
+    offs_out, qid_out = [], []
+    for s in range(0, starts.size, batch):
+        cnt, rows, cols = kernel(starts[s:s + batch].astype(np.int32),
+                                 qids[s:s + batch],
+                                 vfrom[s:s + batch].astype(np.int32),
+                                 vto[s:s + batch].astype(np.int32))
+        cnt = int(cnt)
+        if cnt > near_k:
+            return None
+        rows = np.asarray(rows)[:cnt]
+        cols = np.asarray(cols)[:cnt]
+        offs_out.append(starts[s:s + batch][rows] + cols)
+        qid_out.append(np.asarray(qids[s:s + batch])[rows])
+    if not offs_out:
+        return np.empty(0, np.int64), np.empty(0, np.int32)
+    return np.concatenate(offs_out), np.concatenate(qid_out)
