@@ -237,98 +237,6 @@ class NormQueryEngine(BaseEngine):
             keep &= ~under | (var2 <= limit + 1e-12)
         return keep
 
-    # -------------------------------------------------------- device batch path
-    def _bucket_stack_dev(self, max_len: int):
-        """Lazily (re)build + upload the dense bucket stack for the device probe."""
-        import jax.numpy as jnp
-        from ..index.build import compute_buckets_tpu
-        from ..parallel.query import pack_bucket_stack
-        cur = getattr(self, "_bstack", None)
-        if cur is None or cur[0] < max_len:
-            buckets = compute_buckets_tpu(self.data, self.icfg)
-            stack = pack_bucket_stack(buckets, tuple(self.icfg.scales),
-                                      self.n, max_len)
-            self._bstack = (max_len, jnp.asarray(stack))
-        return self._bstack[1]
-
-    def query_batch_device(self, queries: np.ndarray, epsilon, *, alpha, beta,
-                           top_k: int = 4096):
-        """Fully device-resident batched cNSM-ED: the dense z-space probe, std
-        filter, top-K selection and z-norm verification run as ONE jit program
-        per batch (parallel/query.py make_dense_query_step_norm_batched); the
-        host only plans segments and float64-confirms near-threshold survivors.
-
-        Queries whose candidate count overflows ``top_k`` fall back to the exact
-        host phase-1 path, so results are always exact and complete.
-        """
-        import functools
-        import jax.numpy as jnp
-        from .base import QueryResult, QueryStats, _Ctx
-        from ..parallel.query import (make_dense_query_step_norm_batched,
-                                      pack_segments_batch)
-        from .. import verify as vf
-        import time as _time
-
-        queries = np.atleast_2d(np.asarray(queries, np.float64))
-        nq, L = queries.shape
-        eps = np.broadcast_to(np.asarray(epsilon, np.float64), (nq,))
-        t0 = _time.perf_counter()
-        ctxs, seg_lists, cons = [], [], []
-        for qi in range(nq):
-            ctx = _Ctx(query=queries[qi], length=L, epsilon=float(eps[qi]),
-                       eps2=float(eps[qi]) ** 2,
-                       params={"alpha": alpha, "beta": beta}, stats=QueryStats())
-            seg_lists.append(self._plan(ctx))
-            ctxs.append(ctx)
-            cons.append([alpha, beta, ctx.params["_mu_q"], ctx.params["_sd_q"]])
-        segs = pack_segments_batch(seg_lists, tuple(self.icfg.scales))
-        qhats = np.stack([(c.query - c.params["_mu_q"]) / c.params["_sd_q"]
-                          for c in ctxs])
-        stack = self._bucket_stack_dev(max(L, 8192))
-
-        if not hasattr(self, "_dense_steps"):
-            self._dense_steps = {}
-        key = (L, top_k)
-        if key not in self._dense_steps:
-            self._dense_steps[key] = make_dense_query_step_norm_batched(
-                self.icfg, L, top_k=top_k)
-        step = self._dense_steps[key]
-        counts, idx, d2, mean, std = step(
-            self.data_dev, stack, jnp.asarray(qhats, jnp.float32), segs,
-            jnp.asarray(eps ** 2, jnp.float32),
-            jnp.asarray(np.asarray(cons), jnp.float32))
-        counts = np.asarray(counts)
-        idx = np.asarray(idx)
-        d2 = np.asarray(d2)
-        mean = np.asarray(mean)
-        std = np.asarray(std)
-
-        results = []
-        for qi, ctx in enumerate(ctxs):
-            ctx.stats.n_candidates = int(counts[qi])
-            if counts[qi] > top_k:
-                # Overflow: exact host path for this query.
-                cs, last = self._phase1(seg_lists[qi], ctx)
-                c_l, c_r = self._candidate_intervals(cs, last, L)
-                ans = self._verify_intervals(c_l, c_r, ctx)
-            else:
-                mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
-                cg = 1e-3 * (1.0 + abs(mu_q) + sd_q)
-                thresh = ctx.eps2 + vf.guard_threshold(
-                    ctx.eps2, L, self.qcfg.verify_guard)
-                ratio = std[qi] / sd_q
-                ok = ((np.abs(mean[qi] - mu_q) <= beta + cg)
-                      & (ratio <= alpha + cg) & (ratio >= 1.0 / alpha - cg)
-                      & (d2[qi] <= thresh))
-                near = np.sort(idx[qi][ok].astype(np.int64))
-                ans = self._confirm_znorm_exact(near, ctx)
-            order = np.argsort(ans[1], kind="stable")
-            ctx.stats.n_answers = int(ans[0].size)
-            ctx.stats.t_total_ms = (_time.perf_counter() - t0) * 1e3 / nq
-            results.append(QueryResult(offsets=ans[0][order],
-                                       distances=ans[1][order], stats=ctx.stats))
-        return results
-
     # ---------------------------------------------------------------- phase 2
     def _cumsums(self):
         """Cached float64 prefix sums of data and data^2 — O(1) window mean/std

@@ -76,74 +76,6 @@ class QueryEngine(BaseEngine):
         from .. import native
         return native.intersect_ed(cs, positions, ctx.eps2)
 
-    # -------------------------------------------------------- device batch path
-    def _bucket_stack_dev(self, max_len: int):
-        """Lazily (re)build + upload the dense bucket stack for the device probe."""
-        import jax.numpy as jnp
-        from ..index.build import compute_buckets_tpu
-        from ..parallel.query import pack_bucket_stack
-        cur = getattr(self, "_bstack", None)
-        if cur is None or cur[0] < max_len:
-            buckets = compute_buckets_tpu(self.data, self.icfg)
-            stack = pack_bucket_stack(buckets, tuple(self.icfg.scales),
-                                      self.n, max_len)
-            self._bstack = (max_len, jnp.asarray(stack))
-        return self._bstack[1]
-
-    def query_batch_device(self, queries: np.ndarray, epsilon, top_k: int = 4096):
-        """Fully device-resident batched RSM-ED: dense probe + top-K ED verify as
-        one jit program (parallel/query.py); the host plans segments and
-        float64-confirms near-threshold survivors.  Overflowing queries fall back
-        to the exact host phase-1 path."""
-        import jax.numpy as jnp
-        import time as _time
-        from .base import QueryResult, QueryStats, _Ctx
-        from ..parallel.query import (make_dense_query_step_batched,
-                                      pack_segments_batch)
-
-        queries = np.atleast_2d(np.asarray(queries, np.float64))
-        nq, L = queries.shape
-        eps = np.broadcast_to(np.asarray(epsilon, np.float64), (nq,))
-        t0 = _time.perf_counter()
-        ctxs, seg_lists = [], []
-        for qi in range(nq):
-            ctx = _Ctx(query=queries[qi], length=L, epsilon=float(eps[qi]),
-                       eps2=float(eps[qi]) ** 2, params={}, stats=QueryStats())
-            seg_lists.append(self._plan(ctx))
-            ctxs.append(ctx)
-        segs = pack_segments_batch(seg_lists, tuple(self.icfg.scales))
-        stack = self._bucket_stack_dev(max(L, 8192))
-        if not hasattr(self, "_dense_steps"):
-            self._dense_steps = {}
-        key = (L, top_k)
-        if key not in self._dense_steps:
-            self._dense_steps[key] = make_dense_query_step_batched(
-                self.icfg, L, top_k=top_k)
-        step = self._dense_steps[key]
-        counts, idx, d2 = step(self.data_dev, stack,
-                               jnp.asarray(queries, jnp.float32), segs,
-                               jnp.asarray(eps ** 2, jnp.float32))
-        counts, idx, d2 = np.asarray(counts), np.asarray(idx), np.asarray(d2)
-
-        results = []
-        for qi, ctx in enumerate(ctxs):
-            ctx.stats.n_candidates = int(counts[qi])
-            if counts[qi] > top_k:
-                cs, last = self._phase1(seg_lists[qi], ctx)
-                c_l, c_r = self._candidate_intervals(cs, last, L)
-                ans = self._verify_intervals(c_l, c_r, ctx)
-            else:
-                thresh = ctx.eps2 + vf.guard_threshold(
-                    ctx.eps2, L, self.qcfg.verify_guard)
-                near = np.sort(idx[qi][d2[qi] <= thresh].astype(np.int64))
-                ans = self._confirm_ed(near, ctx)
-            order = np.argsort(ans[1], kind="stable")
-            ctx.stats.n_answers = int(ans[0].size)
-            ctx.stats.t_total_ms = (_time.perf_counter() - t0) * 1e3 / nq
-            results.append(QueryResult(offsets=ans[0][order],
-                                       distances=ans[1][order], stats=ctx.stats))
-        return results
-
     # ---------------------------------------------------------------- phase 2
     @functools.lru_cache(maxsize=8)
     def _kernel(self, length: int):

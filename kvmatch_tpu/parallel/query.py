@@ -231,6 +231,37 @@ def _dense_probe_norm(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
     return jnp.where(std_bad, jnp.inf, acc)
 
 
+def make_dense_probe_step_batched(icfg: IndexConfig, length: int,
+                                  top_k: int = 4096, norm: bool = False,
+                                  scales: Tuple[int, ...] | None = None):
+    """Phase-1-only dense step: (counts i32[Q], offsets i32[Q, K]) with offsets
+    ranked by smallest accumulated bound.  norm=True uses the z-space probe with
+    the std filter (cons rows (alpha, beta, mu_q, sd_q))."""
+    scales = scales or tuple(icfg.scales)
+    unit = icfg.unit
+    slack = np.float32(icfg.probe_guard)
+
+    def step(data, bstack, segs: DenseSegments, eps2, cons):
+        n = data.shape[0]
+        m = n - length + 1
+        if norm:
+            eps_acc = jax.vmap(
+                lambda sg, c: _dense_probe_norm(bstack, sg, unit, icfg.d, n,
+                                                slack, c[0], c[1], c[2], c[3],
+                                                length))(segs, cons)
+        else:
+            eps_acc = jax.vmap(
+                lambda sg: _dense_probe(bstack, sg, unit, icfg.d, n, slack))(segs)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        scores = jnp.where(mask, -eps_acc, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, top_k)
+        return counts, jnp.minimum(idx.astype(jnp.int32), m - 1)
+
+    return jax.jit(step)
+
+
 def make_dense_query_step_norm_batched(icfg: IndexConfig, length: int,
                                        top_k: int = 2048,
                                        scales: Tuple[int, ...] | None = None):

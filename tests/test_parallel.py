@@ -167,3 +167,19 @@ def test_rsm_device_batch_matches_host(data):
     for qi, off in enumerate(q_offs):
         assert set(dev[qi].offsets.tolist()) == set(host[qi].offsets.tolist())
         assert off in dev[qi].offsets.tolist()
+
+
+def test_dtw_device_batch_matches_host(data):
+    """The generic device-probe batched driver also serves the DTW engines."""
+    from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+    from kvmatch_tpu.index.build import build_index_numpy
+    icfg = IndexConfig()
+    engine = QueryEngineDtw(data, index=build_index_numpy(data, icfg), icfg=icfg)
+    L, eps, rho = 256, 4.0, 12
+    q_offs = [1800, 22000]
+    queries = np.stack([data[o:o + L] for o in q_offs])
+    dev = engine.query_batch_device(queries, eps, rho=rho)
+    host = engine.query_batch(queries, eps, rho=rho)
+    for qi, off in enumerate(q_offs):
+        assert set(dev[qi].offsets.tolist()) == set(host[qi].offsets.tolist())
+        assert off in dev[qi].offsets.tolist()
