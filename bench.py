@@ -107,19 +107,19 @@ def main() -> int:
     nfound = sum(1 for o, r in zip(offs2, nres) if int(o) in r.offsets.tolist())
 
     # --- device-resident batched paths --------------------------------------
-    engine.query_batch_device(queries, eps)  # warmup/compile
+    engine.query_batch_device(queries, eps, top_k=32768)  # warmup/compile
     dev_qps = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        dres = engine.query_batch_device(queries, eps)
+        dres = engine.query_batch_device(queries, eps, top_k=32768)
         dev_qps = max(dev_qps, nq / (time.perf_counter() - t0))
     dev_found = sum(1 for o, r in zip(offs, dres) if int(o) in r.offsets.tolist())
 
-    neng.query_batch_device(q2, 4.0, alpha=1.2, beta=5.0)  # warmup
+    neng.query_batch_device(q2, 4.0, top_k=32768, alpha=1.2, beta=5.0)  # warmup
     ndev_qps = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        ndres = neng.query_batch_device(q2, 4.0, alpha=1.2, beta=5.0)
+        ndres = neng.query_batch_device(q2, 4.0, top_k=32768, alpha=1.2, beta=5.0)
         ndev_qps = max(ndev_qps, nq2 / (time.perf_counter() - t0))
     ndev_found = sum(1 for o, r in zip(offs2, ndres) if int(o) in r.offsets.tolist())
 
