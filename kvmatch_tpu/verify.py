@@ -78,7 +78,7 @@ def guard_threshold(eps2: float, length: int, guard: float) -> float:
 
 def run_region_near(kernel: Callable, starts: np.ndarray, vfrom: np.ndarray,
                     vto: np.ndarray, qids: np.ndarray, near_k: int,
-                    lo: int = 32, hi: int = 2048):
+                    lo: int = 32, hi: int = 8192):
     """Drive an on-device near-selection region kernel over bucket-padded chunks.
 
     ``kernel(starts, qids, vfrom, vto) -> (count, rows, cols)`` with rows/cols
