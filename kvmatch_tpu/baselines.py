@@ -153,28 +153,26 @@ class UcrScanner:
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0)
 
+        from .ops.dtw import dtw_stage_multi, lb_stage_multi
         env_lo, env_hi = envelope(query, rho)
-        q32 = jnp.asarray(query, jnp.float32)
-        lo32 = jnp.asarray(env_lo, jnp.float32)
-        hi32 = jnp.asarray(env_hi, jnp.float32)
+        qm = jnp.asarray(query[None, :], jnp.float32)
+        lo_m = jnp.asarray(env_lo[None, :], jnp.float32)
+        hi_m = jnp.asarray(env_hi[None, :], jnp.float32)
         data_dev = self.data_dev
+        zero_q = np.zeros(0, np.int32)
 
-        @jax.jit
-        def lb_stage(o):
-            x = _gather_windows(data_dev, o, L)
-            return jnp.maximum(lb_kim(x, q32), lb_keogh(x, lo32, hi32))
-
-        lb = vf.device_distances(cand, 1024, lb_stage)
+        lb = vf.run_bucketed(
+            lambda o: lb_stage_multi(data_dev, qm, lo_m, hi_m, o,
+                                     jnp.zeros(o.shape, jnp.int32), L),
+            cand.size, cand.astype(np.int32), lo=1024)
         surv = cand[lb <= thresh]
         if surv.size == 0:
             return np.empty(0, np.int64), np.empty(0)
 
-        @jax.jit
-        def dtw_stage(o):
-            x = _gather_windows(data_dev, o, L)
-            return dtw_banded_batch(x, q32, rho)
-
-        d2 = vf.device_distances(surv, 1024, dtw_stage)
+        d2 = vf.run_bucketed(
+            lambda o: dtw_stage_multi(data_dev, qm, o,
+                                      jnp.zeros(o.shape, jnp.int32), L, rho),
+            surv.size, surv.astype(np.int32), lo=1024)
         near = surv[d2 <= thresh]
         if stats is not None:
             stats.n_near = int(near.size)

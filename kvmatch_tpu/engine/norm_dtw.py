@@ -65,35 +65,26 @@ class NormQueryEngineDtw(NormQueryEngine):
         threshs = np.array([c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
                             for c in ctxs])
 
-        def _znorm(x):
-            inv_l = np.float32(1.0 / L)
-            mean = jnp.sum(x, axis=1) * inv_l
-            centered = x - mean[:, None]
-            var = jnp.sum(centered * centered, axis=1) * inv_l
-            std = jnp.sqrt(jnp.maximum(var, 1e-30))
-            return centered / std[:, None]
-
-        @jax.jit
-        def lb_stage(o, q):
-            z = _znorm(_gather_windows(data_dev, o, L))
-            return jnp.maximum(lb_kim_multi(z, zq_m[q]),
-                               lb_keogh_multi(z, lo_m[q], hi_m[q]))
-
-        lb = vf.run_bucketed(lb_stage, total, offsets.astype(np.int32), qids,
-                             lo=self.qcfg.verify_batch)
+        from ..ops.dtw import dtw_stage_znorm_multi, lb_stage_znorm_multi
+        cons = jnp.asarray(np.stack(
+            [[c.params["alpha"], c.params["beta"], c.params["_mu_q"],
+              c.params["_sd_q"],
+              1e-3 * (1.0 + abs(c.params["_mu_q"]) + c.params["_sd_q"])]
+             for c in ctxs]), jnp.float32)
+        lb = vf.run_bucketed(
+            lambda o, q: lb_stage_znorm_multi(data_dev, zq_m, lo_m, hi_m, cons,
+                                              o, q, L),
+            total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch)
         surv = lb <= threshs[qids]
         s_off, s_qid = offsets[surv], qids[surv]
         per_q = [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
         for c, cnt in zip(ctxs, counts):
             c.stats.n_device_checked = cnt
         if s_off.size:
-            @jax.jit
-            def dtw_stage(o, q):
-                z = _znorm(_gather_windows(data_dev, o, L))
-                return dtw_banded_batch_multi(z, zq_m[q], rho)
-
-            d2 = vf.run_bucketed(dtw_stage, s_off.size, s_off.astype(np.int32),
-                                 s_qid, lo=min(self.qcfg.verify_batch, 1024))
+            d2 = vf.run_bucketed(
+                lambda o, q: dtw_stage_znorm_multi(data_dev, zq_m, o, q, L, rho),
+                s_off.size, s_off.astype(np.int32),
+                s_qid, lo=min(self.qcfg.verify_batch, 1024))
             near_mask = d2 <= threshs[s_qid]
             for qi, ctx in enumerate(ctxs):
                 near = s_off[near_mask & (s_qid == qi)]
@@ -125,77 +116,10 @@ class NormQueryEngineDtw(NormQueryEngine):
         return near[keep], np.sqrt(d2h[keep])
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
-        import jax
-        import jax.numpy as jnp
-        from ..ops.ed import _gather_windows
-
-        offsets = self._constraint_prefilter(offsets, ctx)
+        """Single query = batch of one through the fused multi-query stages."""
         if offsets.size == 0:
             return np.empty(0, np.int64), np.empty(0)
-        rho = ctx.params["rho"]
-        alpha = ctx.params["alpha"]
-        beta = ctx.params["beta"]
-        mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
-        L = ctx.length
-        zq = (ctx.query - mu_q) / sd_q
-        env_lo, env_hi = envelope(zq, rho)  # envelope of the z-normed query
-                                            # (NormQueryEngineDtw.java:467-469)
-        zq32 = jnp.asarray(zq, jnp.float32)
-        lo32 = jnp.asarray(env_lo, jnp.float32)
-        hi32 = jnp.asarray(env_hi, jnp.float32)
-        data_dev = self.data_dev
-        batch = self.qcfg.verify_batch
-        thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, L, self.qcfg.verify_guard)
-        cg = 1e-3 * (1.0 + abs(mu_q) + sd_q)
-        ctx.stats.n_device_checked = int(offsets.size)
-
-        @jax.jit
-        def lb_stage(offs):
-            x = _gather_windows(data_dev, offs, L)
-            inv_l = np.float32(1.0 / L)
-            mean = jnp.sum(x, axis=1) * inv_l
-            centered = x - mean[:, None]
-            var = jnp.sum(centered * centered, axis=1) * inv_l
-            std = jnp.sqrt(var)
-            safe = jnp.where(std > 0, std, 1.0)
-            z = centered / safe[:, None]
-            ratio = std / np.float32(sd_q)
-            ok = ((jnp.abs(mean - mu_q) <= beta + cg) & (ratio <= alpha + cg)
-                  & (ratio >= 1.0 / alpha - cg) & (std > 0))
-            lb = jnp.maximum(lb_kim(z, zq32), lb_keogh(z, lo32, hi32))
-            return jnp.where(ok, lb, np.float32(np.inf))
-
-        lb = vf.device_distances(offsets, batch, lb_stage)
-        survivors = offsets[lb <= thresh]
-        if survivors.size == 0:
-            return np.empty(0, np.int64), np.empty(0)
-
-        @jax.jit
-        def dtw_stage(offs):
-            x = _gather_windows(data_dev, offs, L)
-            inv_l = np.float32(1.0 / L)
-            mean = jnp.sum(x, axis=1) * inv_l
-            centered = x - mean[:, None]
-            var = jnp.sum(centered * centered, axis=1) * inv_l
-            std = jnp.sqrt(jnp.maximum(var, 1e-30))
-            z = centered / std[:, None]
-            return dtw_banded_batch(z, zq32, rho)
-
-        d2 = vf.device_distances(survivors, batch, dtw_stage)
-        near = survivors[d2 <= thresh]
-        ctx.stats.n_host_rechecked = int(near.size)
-        if near.size == 0:
-            return np.empty(0, np.int64), np.empty(0)
-        # Exact float64 confirmation: constraints + banded DTW on z-normed windows.
-        idx = near[:, None] + np.arange(L)[None, :]
-        x = self.data[idx]
-        mu_h = x.mean(axis=1)
-        var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
-        sd_h = np.sqrt(var_h)
-        ratio_h = sd_h / sd_q
-        ok_h = (np.abs(mu_h - mu_q) <= beta) & (ratio_h <= alpha) & \
-               (ratio_h >= 1.0 / alpha) & (sd_h > 0)
-        z = (x - mu_h[:, None]) / np.where(sd_h > 0, sd_h, 1.0)[:, None]
-        d2h = dtw_banded_batch_f64(z, zq, rho)
-        keep = ok_h & (d2h <= ctx.eps2)
-        return near[keep], np.sqrt(d2h[keep])
+        runs = np.flatnonzero(np.diff(offsets) > 1)
+        left = offsets[np.concatenate(([0], runs + 1))]
+        right = offsets[np.concatenate((runs, [offsets.size - 1]))]
+        return self._verify_multi([(left, right)], [ctx])[0]

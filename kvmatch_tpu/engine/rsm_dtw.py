@@ -67,26 +67,20 @@ class QueryEngineDtw(QueryEngine):
         threshs = np.array([c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
                             for c in ctxs])
 
-        @jax.jit
-        def lb_stage(o, q):
-            x = _gather_windows(data_dev, o, L)
-            return jnp.maximum(lb_kim_multi(x, qm[q]), lb_keogh_multi(x, lo_m[q], hi_m[q]))
-
-        lb = vf.run_bucketed(lb_stage, total, offsets.astype(np.int32), qids,
-                             lo=self.qcfg.verify_batch)
+        from ..ops.dtw import dtw_stage_multi, lb_stage_multi
+        lb = vf.run_bucketed(
+            lambda o, q: lb_stage_multi(data_dev, qm, lo_m, hi_m, o, q, L),
+            total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch)
         surv = lb <= threshs[qids]
         s_off, s_qid = offsets[surv], qids[surv]
         per_q = [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
         for c, cnt in zip(ctxs, counts):
             c.stats.n_device_checked = cnt
         if s_off.size:
-            @jax.jit
-            def dtw_stage(o, q):
-                x = _gather_windows(data_dev, o, L)
-                return dtw_banded_batch_multi(x, qm[q], rho)
-
-            d2 = vf.run_bucketed(dtw_stage, s_off.size, s_off.astype(np.int32),
-                                 s_qid, lo=min(self.qcfg.verify_batch, 1024))
+            d2 = vf.run_bucketed(
+                lambda o, q: dtw_stage_multi(data_dev, qm, o, q, L, rho),
+                s_off.size, s_off.astype(np.int32),
+                s_qid, lo=min(self.qcfg.verify_batch, 1024))
             near_mask = d2 <= threshs[s_qid]
             for qi, ctx in enumerate(ctxs):
                 near = s_off[near_mask & (s_qid == qi)]
@@ -100,46 +94,9 @@ class QueryEngineDtw(QueryEngine):
         return per_q
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
-        import jax.numpy as jnp
-        rho = ctx.params["rho"]
-        L = ctx.length
-        q64 = ctx.query
-        env_lo, env_hi = envelope(q64, rho)
-        q32 = jnp.asarray(q64, jnp.float32)
-        lo32 = jnp.asarray(env_lo, jnp.float32)
-        hi32 = jnp.asarray(env_hi, jnp.float32)
-        data_dev = self.data_dev
-        batch = self.qcfg.verify_batch
-        thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, L, self.qcfg.verify_guard)
-        ctx.stats.n_device_checked = int(offsets.size)
-
-        # Stage 1+2: cheap lower bounds prune the batch.
-        import jax
-        from ..ops.ed import _gather_windows
-
-        @jax.jit
-        def lb_stage(offs):
-            x = _gather_windows(data_dev, offs, L)
-            return jnp.maximum(lb_kim(x, q32), lb_keogh(x, lo32, hi32))
-
-        lb = vf.device_distances(offsets, batch, lb_stage)
-        survivors = offsets[lb <= thresh]
-        if survivors.size == 0:
-            return np.empty(0, np.int64), np.empty(0)
-
-        # Stage 3: full banded DTW on survivors.
-        @jax.jit
-        def dtw_stage(offs):
-            x = _gather_windows(data_dev, offs, L)
-            return dtw_banded_batch(x, q32, rho)
-
-        d2 = vf.device_distances(survivors, batch, dtw_stage)
-        near = survivors[d2 <= thresh]
-        ctx.stats.n_host_rechecked = int(near.size)
-        if near.size == 0:
-            return np.empty(0, np.int64), np.empty(0)
-        # Exact float64 confirmation.
-        idx = near[:, None] + np.arange(L)[None, :]
-        d2h = dtw_banded_batch_f64(self.data[idx], q64, rho)
-        keep = d2h <= ctx.eps2
-        return near[keep], np.sqrt(d2h[keep])
+        """Single query = batch of one through the fused multi-query stages (the
+        module-level jits keep the compile cache shape-keyed)."""
+        runs = np.flatnonzero(np.diff(offsets) > 1)
+        left = offsets[np.concatenate(([0], runs + 1))]
+        right = offsets[np.concatenate((runs, [offsets.size - 1]))]
+        return self._verify_multi([(left, right)], [ctx])[0]

@@ -200,3 +200,61 @@ def lb_keogh(a_batch: jnp.ndarray, q_lo: jnp.ndarray, q_hi: jnp.ndarray) -> jnp.
     under = jnp.maximum(q_lo[None, :] - a_batch, 0.0)
     exc = jnp.maximum(over, under)
     return jnp.sum(exc * exc, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted verify stages.  Defining these inside the engine methods
+# would create a fresh jit cache entry per CALL (full retrace+recompile every
+# query); at module level the cache is keyed by shapes only.
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def lb_stage_multi(data, qm, lo_m, hi_m, offs, qids, length: int):
+    from .ed import _gather_windows
+    x = _gather_windows(data, offs, length)
+    return jnp.maximum(lb_kim_multi(x, qm[qids]),
+                       lb_keogh_multi(x, lo_m[qids], hi_m[qids]))
+
+
+@functools.partial(jax.jit, static_argnames=("length", "r"))
+def dtw_stage_multi(data, qm, offs, qids, length: int, r: int):
+    from .ed import _gather_windows
+    x = _gather_windows(data, offs, length)
+    return dtw_banded_batch_multi(x, qm[qids], r)
+
+
+def _znorm_rows(x, length: int):
+    inv_l = np.float32(1.0 / length)
+    mean = jnp.sum(x, axis=1) * inv_l
+    centered = x - mean[:, None]
+    var = jnp.sum(centered * centered, axis=1) * inv_l
+    std = jnp.sqrt(var)
+    safe = jnp.where(std > 0, std, 1.0)
+    return centered / safe[:, None], mean, std
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def lb_stage_znorm_multi(data, zq_m, lo_m, hi_m, cons, offs, qids, length: int):
+    """cons rows: (alpha, beta, mu_q, sd_q, cg); returns inf where constraints
+    fail (guarded), else max(LB_Kim, LB_Keogh) on z-normalized windows."""
+    from .ed import _gather_windows
+    x = _gather_windows(data, offs, length)
+    z, mean, std = _znorm_rows(x, length)
+    a = cons[qids, 0]
+    b = cons[qids, 1]
+    mq = cons[qids, 2]
+    sq = cons[qids, 3]
+    cg = cons[qids, 4]
+    ratio = std / sq
+    ok = ((jnp.abs(mean - mq) <= b + cg) & (ratio <= a + cg)
+          & (ratio >= 1.0 / a - cg) & (std > 0))
+    lb = jnp.maximum(lb_kim_multi(z, zq_m[qids]),
+                     lb_keogh_multi(z, lo_m[qids], hi_m[qids]))
+    return jnp.where(ok, lb, np.float32(np.inf))
+
+
+@functools.partial(jax.jit, static_argnames=("length", "r"))
+def dtw_stage_znorm_multi(data, zq_m, offs, qids, length: int, r: int):
+    from .ed import _gather_windows
+    x = _gather_windows(data, offs, length)
+    z, _, _ = _znorm_rows(x, length)
+    return dtw_banded_batch_multi(z, zq_m[qids], r)
