@@ -87,6 +87,13 @@ def main() -> int:
         batch_res = engine.query_batch(queries, eps)
         rsm_qps = max(rsm_qps, nq / (time.perf_counter() - t0))
     found = sum(1 for o, r in zip(offs, batch_res) if int(o) in r.offsets.tolist())
+    # Reference's own fitted phase-2 model (QueryEngine.java:55-57) applied to
+    # the measured candidate loads: what the Java engine's verify step would cost
+    # per query on ITS hardware for this exact workload.
+    ref_ms = [4.0707589132278 * r.stats.n_disjoint
+              + 0.269833135638498 * r.stats.n_candidates / 1e5 * L
+              for r in batch_res]
+    ref_rsm_qps = 1000.0 / max(float(np.mean(ref_ms)), 1e-9)
     rsm_p1_ms = float(np.mean([r.stats.t_phase1_ms for r in batch_res]))
     rsm_p2_ms = float(np.mean([r.stats.t_phase2_ms for r in batch_res]))
     rsm_cands = int(np.sum([r.stats.n_candidates for r in batch_res]))
@@ -105,6 +112,10 @@ def main() -> int:
         nres = neng.query_batch(q2, 4.0, alpha=1.2, beta=5.0)
         cnsm_qps = max(cnsm_qps, nq2 / (time.perf_counter() - t0))
     nfound = sum(1 for o, r in zip(offs2, nres) if int(o) in r.offsets.tolist())
+    nref_ms = [9.72276547123376 * r.stats.n_disjoint
+               + 0.0106737255022236 * r.stats.n_candidates / 1e5 * L
+               for r in nres]
+    ref_cnsm_qps = 1000.0 / max(float(np.mean(nref_ms)), 1e-9)
 
     # --- device-resident batched paths --------------------------------------
     engine.query_batch_device(queries, eps, top_k=32768)  # warmup/compile
@@ -149,6 +160,10 @@ def main() -> int:
             "cnsm_ed_batch_qps": round(cnsm_qps, 1),
             "rsm_ed_batch_speedup_vs_ref_demo_rate": round(
                 rsm_qps / (1000.0 / BASELINE_DEMO_MS), 1),
+            "ref_costmodel_rsm_qps_est": round(ref_rsm_qps, 2),
+            "ref_costmodel_cnsm_qps_est": round(ref_cnsm_qps, 3),
+            "rsm_speedup_vs_ref_costmodel": round(rsm_qps / ref_rsm_qps, 1),
+            "cnsm_speedup_vs_ref_costmodel": round(cnsm_qps / ref_cnsm_qps, 1),
             "rsm_dtw_query_ms": round(rsm_dtw_ms, 1),
             "rsm_ed_device_batch_qps": round(dev_qps, 1),
             "cnsm_ed_device_batch_qps": round(ndev_qps, 1),

@@ -37,6 +37,7 @@ class QueryStats:
     t_phase1_ms: float = 0.0
     t_phase2_ms: float = 0.0
     n_candidates: int = 0
+    n_disjoint: int = 0
     n_answers: int = 0
     n_scans: int = 0
     n_segments_used: int = 0
@@ -368,6 +369,7 @@ class BaseEngine:
         t2 = time.perf_counter()
         c_l, c_r = self._candidate_intervals(cs, last_segment, ctx.length)
         stats.n_candidates = int(np.sum(c_r - c_l + 1)) if c_l.size else 0
+        stats.n_disjoint = int(c_l.size)
         if c_l.size:
             ans_off, ans_dist = self._verify_intervals(c_l, c_r, ctx)
         else:
@@ -490,6 +492,7 @@ class BaseEngine:
             cs, last_segment = self._phase1(segments, ctx)
             c_l, c_r = self._candidate_intervals(cs, last_segment, ctx.length)
             ctx.stats.n_candidates = int(np.sum(c_r - c_l + 1)) if c_l.size else 0
+            ctx.stats.n_disjoint = int(c_l.size)
             ctxs.append(ctx)
             cand_ivs.append((c_l, c_r))
         t_verify = time.perf_counter()

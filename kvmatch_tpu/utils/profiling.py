@@ -26,7 +26,7 @@ from ..config import QueryConfig
 class StatsWriter:
     """Append QueryStats rows to a CSV (one header, flushed per write)."""
 
-    FIELDS = ("t_total_ms", "t_phase1_ms", "t_phase2_ms", "n_candidates",
+    FIELDS = ("t_total_ms", "t_phase1_ms", "t_phase2_ms", "n_candidates", "n_disjoint",
               "n_answers", "n_scans", "n_segments_used", "n_device_checked",
               "n_host_rechecked", "early_terminated")
 
