@@ -133,10 +133,8 @@ class UcrScanner:
                  stats: Optional[ScanStats] = None):
         """RSM-DTW over every window (UcrDtwQueryExecutor equivalent):
         PAA + LB_Keogh/LB_Kim prefilters, banded DP on survivors."""
-        import jax
         import jax.numpy as jnp
-        from .ops.dtw import dtw_banded_batch, dtw_banded_batch_f64, lb_keogh, lb_kim
-        from .ops.ed import _gather_windows
+        from .ops.dtw import dtw_banded_batch_f64
         from .plan import envelope
         query = np.asarray(query, np.float64)
         L = query.size

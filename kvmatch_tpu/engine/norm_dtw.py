@@ -12,7 +12,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..ops.dtw import dtw_banded_batch, dtw_banded_batch_f64, lb_keogh, lb_kim
+from ..ops.dtw import dtw_banded_batch_f64
 from ..plan import QuerySegment, determine_query_plan, envelope, unit_sums
 from .. import verify as vf
 from .base import _Ctx
@@ -38,10 +38,7 @@ class NormQueryEngineDtw(NormQueryEngine):
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query cNSM-DTW: exact host constraint prefilter, then
         z-normalized LB cascade + banded DP with per-candidate query rows."""
-        import jax
         import jax.numpy as jnp
-        from ..ops.dtw import dtw_banded_batch_multi, lb_keogh_multi, lb_kim_multi
-        from ..ops.ed import _gather_windows
 
         L = ctxs[0].length
         rho = ctxs[0].params["rho"]

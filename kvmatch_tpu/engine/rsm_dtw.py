@@ -13,7 +13,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..ops.dtw import dtw_banded_batch, dtw_banded_batch_f64, lb_keogh, lb_kim
+from ..ops.dtw import dtw_banded_batch_f64
 from ..plan import QuerySegment, determine_query_plan, envelope, unit_sums
 from .. import verify as vf
 from .base import _Ctx
@@ -44,10 +44,7 @@ class QueryEngineDtw(QueryEngine):
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query DTW verification: LB cascade then banded DP, with
         per-candidate query rows so one launch stream serves the whole batch."""
-        import jax
         import jax.numpy as jnp
-        from ..ops.dtw import dtw_banded_batch_multi, lb_keogh_multi, lb_kim_multi
-        from ..ops.ed import _gather_windows
         from ..utils import intervals as iv
 
         L = ctxs[0].length
