@@ -69,7 +69,9 @@ def dtw_banded_batch(a_batch: jnp.ndarray, q: jnp.ndarray, r: int) -> jnp.ndarra
     """Squared banded DTW distances for a (B, L) batch against one query (L,)."""
     Bsz, L = a_batch.shape
     row, W = _band_dtw_rows(a_batch, q, r)
-    P0 = jnp.full((Bsz, W), BIG)
+    # Derive the carry from a_batch so its sharding/vary-type matches the scan
+    # body's output when this runs inside shard_map (shard-varying operand).
+    P0 = jnp.full((Bsz, W), BIG) + 0.0 * a_batch[:, :1]
     P, _ = jax.lax.scan(row, P0, jnp.arange(L))
     return P[:, r]
 

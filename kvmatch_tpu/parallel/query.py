@@ -110,15 +110,16 @@ def make_dense_query_step(icfg: IndexConfig, length: int, top_k: int = 2048,
     def step(data, bstack, query, segs: DenseSegments, eps2):
         n = data.shape[0]
         m = n - length + 1
+        k = min(top_k, n)  # oversized K degrades gracefully
         eps_acc = _dense_probe(bstack, segs, unit, icfg.d, n, slack)
         pos = jnp.arange(n, dtype=jnp.int32)
         mask = (eps_acc <= eps2) & (pos < m)
         count = jnp.sum(mask.astype(jnp.int32))
-        (idx,) = jnp.nonzero(mask, size=top_k, fill_value=n - length)
+        (idx,) = jnp.nonzero(mask, size=k, fill_value=n - length)
         x = data[idx[:, None] + jnp.arange(length, dtype=jnp.int32)[None, :]]
         diff = x - query[None, :]
         d2 = jnp.sum(diff * diff, axis=1)
-        live = jnp.arange(top_k) < count
+        live = jnp.arange(k) < count
         d2 = jnp.where(live, d2, jnp.inf)
         return count, idx, d2
 
@@ -149,6 +150,7 @@ def make_dense_query_step_batched(icfg: IndexConfig, length: int,
     def step(data, bstack, queries, segs: DenseSegments, eps2):
         n = data.shape[0]
         m = n - length + 1
+        k = min(top_k, n)  # oversized K degrades gracefully
         eps_acc = jax.vmap(
             lambda sg: _dense_probe(bstack, sg, unit, icfg.d, n, slack))(segs)
         pos = jnp.arange(n, dtype=jnp.int32)
@@ -157,7 +159,7 @@ def make_dense_query_step_batched(icfg: IndexConfig, length: int,
         # top_k over masked scores gives each query's K candidate positions
         # (jnp.nonzero is not vmappable; top-k by smallest accumulated bound is).
         scores = jnp.where(mask, -eps_acc, -jnp.inf)
-        _, idx = jax.lax.top_k(scores, top_k)
+        _, idx = jax.lax.top_k(scores, k)
         idx = jnp.minimum(idx.astype(jnp.int32), m - 1)
 
         def one(q_row, idx_row):
@@ -166,7 +168,7 @@ def make_dense_query_step_batched(icfg: IndexConfig, length: int,
             return jnp.sum(diff * diff, axis=1)
 
         d2 = jax.vmap(one)(queries, idx)
-        live = jnp.arange(top_k)[None, :] < jnp.minimum(counts, top_k)[:, None]
+        live = jnp.arange(k)[None, :] < jnp.minimum(counts, k)[:, None]
         d2 = jnp.where(live, d2, jnp.inf)
         return counts, idx, d2
 
@@ -244,6 +246,7 @@ def make_dense_probe_step_batched(icfg: IndexConfig, length: int,
     def step(data, bstack, segs: DenseSegments, eps2, cons):
         n = data.shape[0]
         m = n - length + 1
+        k = min(top_k, n)  # oversized K degrades gracefully
         if norm:
             eps_acc = jax.vmap(
                 lambda sg, c: _dense_probe_norm(bstack, sg, unit, icfg.d, n,
@@ -256,7 +259,7 @@ def make_dense_probe_step_batched(icfg: IndexConfig, length: int,
         mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
         counts = jnp.sum(mask.astype(jnp.int32), axis=1)
         scores = jnp.where(mask, -eps_acc, -jnp.inf)
-        _, idx = jax.lax.top_k(scores, top_k)
+        _, idx = jax.lax.top_k(scores, k)
         return counts, jnp.minimum(idx.astype(jnp.int32), m - 1)
 
     return jax.jit(step)
@@ -280,6 +283,7 @@ def make_dense_query_step_norm_batched(icfg: IndexConfig, length: int,
     def step(data, bstack, queries_hat, segs: DenseSegments, eps2, cons):
         n = data.shape[0]
         m = n - length + 1
+        k = min(top_k, n)  # oversized K degrades gracefully
 
         def probe_one(sg, c):
             return _dense_probe_norm(bstack, sg, unit, icfg.d, n, slack,
@@ -290,7 +294,7 @@ def make_dense_query_step_norm_batched(icfg: IndexConfig, length: int,
         mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
         counts = jnp.sum(mask.astype(jnp.int32), axis=1)
         scores = jnp.where(mask, -eps_acc, -jnp.inf)
-        _, idx = jax.lax.top_k(scores, top_k)
+        _, idx = jax.lax.top_k(scores, k)
         idx = jnp.minimum(idx.astype(jnp.int32), m - 1)
 
         inv_l = np.float32(1.0 / length)
@@ -307,7 +311,7 @@ def make_dense_query_step_norm_batched(icfg: IndexConfig, length: int,
             return jnp.where(std > 0, d2, jnp.inf), mean, std
 
         d2, mean, std = jax.vmap(verify_one)(queries_hat, idx)
-        live = jnp.arange(top_k)[None, :] < jnp.minimum(counts, top_k)[:, None]
+        live = jnp.arange(k)[None, :] < jnp.minimum(counts, k)[:, None]
         d2 = jnp.where(live, d2, jnp.inf)
         return counts, idx, d2, mean, std
 
@@ -331,6 +335,7 @@ def make_sharded_query_step_batched(mesh: Mesh, icfg: IndexConfig, length: int,
 
     def per_shard(data, bstack, queries, segs: DenseSegments, eps2, n_total):
         per = data.shape[0]
+        k = min(top_k, per)  # oversized K degrades gracefully
         shard_id = jax.lax.axis_index(AXIS)
         src_dst = [(i, (i - 1) % n_sh) for i in range(n_sh)]
         data_h = jnp.concatenate([data, jax.lax.ppermute(data[:halo], AXIS, src_dst)])
@@ -342,7 +347,7 @@ def make_sharded_query_step_batched(mesh: Mesh, icfg: IndexConfig, length: int,
         mask = (eps_acc <= eps2[:, None]) & (gpos[None, :] < n_total - length + 1)
         counts = jnp.sum(mask.astype(jnp.int32), axis=1)
         scores = jnp.where(mask, -eps_acc, -jnp.inf)
-        _, idx = jax.lax.top_k(scores, top_k)
+        _, idx = jax.lax.top_k(scores, k)
         idx = idx.astype(jnp.int32)
 
         def one(q_row, idx_row):
@@ -351,7 +356,7 @@ def make_sharded_query_step_batched(mesh: Mesh, icfg: IndexConfig, length: int,
             return jnp.sum(diff * diff, axis=1)
 
         d2 = jax.vmap(one)(queries, idx)
-        live = jnp.arange(top_k)[None, :] < jnp.minimum(counts, top_k)[:, None]
+        live = jnp.arange(k)[None, :] < jnp.minimum(counts, k)[:, None]
         d2 = jnp.where(live, d2, jnp.inf)
         totals = jax.lax.psum(counts, AXIS)
         return totals, (shard_id * per + idx)[None], d2[None]
@@ -381,6 +386,7 @@ def make_sharded_query_step(mesh: Mesh, icfg: IndexConfig, length: int,
 
     def per_shard(data, bstack, query, segs: DenseSegments, eps2, n_total):
         per = data.shape[0]
+        k = min(top_k, per)  # oversized K degrades gracefully
         shard_id = jax.lax.axis_index(AXIS)
         src_dst = [(i, (i - 1) % n_sh) for i in range(n_sh)]
         data_h = jnp.concatenate([data, jax.lax.ppermute(data[:halo], AXIS, src_dst)])
@@ -390,11 +396,11 @@ def make_sharded_query_step(mesh: Mesh, icfg: IndexConfig, length: int,
         gpos = shard_id * per + jnp.arange(per, dtype=jnp.int32)
         mask = (eps_acc <= eps2) & (gpos < n_total - length + 1)
         count = jnp.sum(mask.astype(jnp.int32))
-        (idx,) = jnp.nonzero(mask, size=top_k, fill_value=0)
+        (idx,) = jnp.nonzero(mask, size=k, fill_value=0)
         x = data_h[idx[:, None] + jnp.arange(length, dtype=jnp.int32)[None, :]]
         diff = x - query[None, :]
         d2 = jnp.sum(diff * diff, axis=1)
-        live = jnp.arange(top_k) < count
+        live = jnp.arange(k) < count
         d2 = jnp.where(live, d2, jnp.inf)
         total = jax.lax.psum(count, AXIS)
         return total, (shard_id * per + idx)[None, :], d2[None, :]
@@ -403,4 +409,133 @@ def make_sharded_query_step(mesh: Mesh, icfg: IndexConfig, length: int,
         per_shard, mesh=mesh,
         in_specs=(P(AXIS), P(None, AXIS), P(), P(), P(), P()),
         out_specs=(P(), P(AXIS), P(AXIS)))
+    return jax.jit(fn)
+
+
+def make_sharded_query_step_norm_batched(mesh: Mesh, icfg: IndexConfig,
+                                         length: int, top_k: int = 256,
+                                         scales: Tuple[int, ...] | None = None):
+    """Mesh-sharded multi-query cNSM step (SPMD over offset ranges).
+
+    The z-space probe (engine/norm_ed.py's phase-1 bound, elementwise form) and
+    the derived-sigma filter run per shard over the shard's own positions, with
+    a ``length``-point right halo pulled over ICI; each shard then z-normalizes
+    and verifies its local top-K per query.  Outputs are sharded along the
+    device axis so concatenation is the candidate all-gather
+    (SURVEY.md section 2.6; constraints per CsvTester.java:69-114).
+
+    Args: (data f32[n] sharded, bstack i32[S, n+pad] sharded on axis 1,
+    queries_hat f32[Q, L] z-normalized replicated, segs DenseSegments with
+    leading Q, eps2 f32[Q], cons f32[Q, 4] rows (alpha, beta, mu_q, sd_q),
+    n_total i32) -> (counts i32[n_sh, Q] per shard (detects top-K
+    overflow), offsets i32[n_sh, Q, K] global,
+    d2 f32[n_sh, Q, K], mean f32[n_sh, Q, K], std f32[n_sh, Q, K]).
+    """
+    scales = scales or tuple(icfg.scales)
+    unit = icfg.unit
+    halo = length
+    slack = np.float32(icfg.probe_guard)
+    n_sh = mesh.devices.size
+    inv_l = np.float32(1.0 / length)
+
+    def per_shard(data, bstack, queries_hat, segs: DenseSegments, eps2, cons,
+                  n_total):
+        per = data.shape[0]
+        k = min(top_k, per)  # oversized K degrades gracefully
+        shard_id = jax.lax.axis_index(AXIS)
+        src_dst = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        data_h = jnp.concatenate([data, jax.lax.ppermute(data[:halo], AXIS, src_dst)])
+        b_h = jnp.concatenate(
+            [bstack, jax.lax.ppermute(bstack[:, :halo], AXIS, src_dst)], axis=1)
+
+        def probe_one(sg, c):
+            return _dense_probe_norm(b_h, sg, unit, icfg.d, per, slack,
+                                     c[0], c[1], c[2], c[3], length)
+
+        eps_acc = jax.vmap(probe_one)(segs, cons)          # (Q, per)
+        gpos = shard_id * per + jnp.arange(per, dtype=jnp.int32)
+        mask = (eps_acc <= eps2[:, None]) & (gpos[None, :] < n_total - length + 1)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        scores = jnp.where(mask, -eps_acc, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, k)
+        idx = idx.astype(jnp.int32)
+
+        def verify_one(qh, idx_row):
+            x = jax.vmap(lambda o: jax.lax.dynamic_slice(data_h, (o,), (length,)))(idx_row)
+            mean = jnp.sum(x, axis=1) * inv_l
+            centered = x - mean[:, None]
+            var = jnp.sum(centered * centered, axis=1) * inv_l
+            std = jnp.sqrt(var)
+            safe = jnp.where(std > 0, std, 1.0)
+            zdiff = centered / safe[:, None] - qh[None, :]
+            d2 = jnp.sum(zdiff * zdiff, axis=1)
+            return jnp.where(std > 0, d2, jnp.inf), mean, std
+
+        d2, mean, std = jax.vmap(verify_one)(queries_hat, idx)
+        live = jnp.arange(k)[None, :] < jnp.minimum(counts, k)[:, None]
+        d2 = jnp.where(live, d2, jnp.inf)
+        return (counts[None], (shard_id * per + idx)[None], d2[None],
+                mean[None], std[None])
+
+    fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(AXIS), P(None, AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)))
+    return jax.jit(fn)
+
+
+def make_sharded_query_step_dtw_batched(mesh: Mesh, icfg: IndexConfig,
+                                        length: int, rho: int, top_k: int = 256,
+                                        scales: Tuple[int, ...] | None = None):
+    """Mesh-sharded multi-query RSM-DTW step (SPMD over offset ranges).
+
+    Phase 1 is the same dense probe as the ED step but driven by *envelope*
+    segments (engine/rsm_dtw.py's plan: per-segment [mean_lo, mean_hi] come from
+    the Sakoe-Chiba envelope sums, so the accumulated bound lower-bounds banded
+    DTW — DtwQueryEngine.java:103-132's bound in elementwise form).  Each shard
+    verifies its local top-K with the banded prefix-scan DP on device.
+
+    Args mirror make_sharded_query_step_batched plus the static band ``rho``;
+    queries are the raw (not normalized) query rows.  Counts are returned
+    PER SHARD (i32[n_sh, Q]) so callers can detect per-shard top-K overflow
+    (the envelope bound is weaker than the ED bound, so DTW candidate sets
+    are larger at equal epsilon).
+    """
+    from ..ops.dtw import dtw_banded_batch
+    scales = scales or tuple(icfg.scales)
+    unit = icfg.unit
+    halo = length
+    slack = np.float32(icfg.probe_guard)
+    n_sh = mesh.devices.size
+
+    def per_shard(data, bstack, queries, segs: DenseSegments, eps2, n_total):
+        per = data.shape[0]
+        k = min(top_k, per)  # oversized K degrades gracefully
+        shard_id = jax.lax.axis_index(AXIS)
+        src_dst = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        data_h = jnp.concatenate([data, jax.lax.ppermute(data[:halo], AXIS, src_dst)])
+        b_h = jnp.concatenate(
+            [bstack, jax.lax.ppermute(bstack[:, :halo], AXIS, src_dst)], axis=1)
+        eps_acc = jax.vmap(
+            lambda sg: _dense_probe(b_h, sg, unit, icfg.d, per, slack))(segs)
+        gpos = shard_id * per + jnp.arange(per, dtype=jnp.int32)
+        mask = (eps_acc <= eps2[:, None]) & (gpos[None, :] < n_total - length + 1)
+        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+        scores = jnp.where(mask, -eps_acc, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, k)
+        idx = idx.astype(jnp.int32)
+
+        def one(q_row, idx_row):
+            x = jax.vmap(lambda o: jax.lax.dynamic_slice(data_h, (o,), (length,)))(idx_row)
+            return dtw_banded_batch(x, q_row, rho)
+
+        d2 = jax.vmap(one)(queries, idx)
+        live = jnp.arange(k)[None, :] < jnp.minimum(counts, k)[:, None]
+        d2 = jnp.where(live, d2, jnp.inf)
+        return counts[None], (shard_id * per + idx)[None], d2[None]
+
+    fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(AXIS), P(None, AXIS), P(), P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)))
     return jax.jit(fn)

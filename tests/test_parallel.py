@@ -183,3 +183,108 @@ def test_dtw_device_batch_matches_host(data):
     for qi, off in enumerate(q_offs):
         assert set(dev[qi].offsets.tolist()) == set(host[qi].offsets.tolist())
         assert off in dev[qi].offsets.tolist()
+
+def test_sharded_norm_query_matches_oracle(mesh, data):
+    """Sharded cNSM step: z-probe + std filter + z-verify per shard keeps the
+    exact answer set (guard-banded f32 on device, f64 confirm on host)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kvmatch_tpu.engine.base import _Ctx, QueryStats
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.parallel.query import (
+        make_sharded_query_step_norm_batched, pack_segments_batch)
+    icfg = IndexConfig()
+    L, eps, alpha, beta = 256, 2.0, 1.4, 5.0
+    index, stack = build_index_sharded(data, mesh, icfg)
+    engine = NormQueryEngine(data, index=index, icfg=icfg)
+    q_offs = [5000, 18000, 31000]
+    queries = np.stack([data[o:o + L] for o in q_offs])
+    ctxs, seg_lists = [], []
+    for qrow in queries:
+        ctx = _Ctx(query=qrow, length=L, epsilon=eps, eps2=eps * eps,
+                   params={"alpha": alpha, "beta": beta}, stats=QueryStats())
+        seg_lists.append(engine._plan(ctx))
+        ctxs.append(ctx)
+    segs = pack_segments_batch(seg_lists, tuple(icfg.scales))
+    cons = jnp.asarray([[c.params["alpha"], c.params["beta"],
+                         c.params["_mu_q"], c.params["_sd_q"]] for c in ctxs],
+                       jnp.float32)
+    qhat = np.stack([(q - c.params["_mu_q"]) / c.params["_sd_q"]
+                     for q, c in zip(queries, ctxs)])
+
+    n_sh = mesh.devices.size
+    pad = (-data.size) % n_sh
+    padded = np.concatenate([data, np.zeros(pad)]) if pad else data
+    data_sh = jax.device_put(padded.astype(np.float32),
+                             NamedSharding(mesh, P("shard")))
+    step = make_sharded_query_step_norm_batched(mesh, icfg, L, top_k=4096)
+    eps2 = jnp.full(len(q_offs), eps * eps, jnp.float32)
+    counts, idx, d2, mean, std = step(data_sh, stack,
+                                      jnp.asarray(qhat, jnp.float32), segs,
+                                      eps2, cons, jnp.int32(data.size))
+    counts = np.asarray(counts)       # (n_sh, Q) per-shard candidate counts
+    idx, d2 = np.asarray(idx), np.asarray(d2)
+    assert counts.max() <= 4096, "workload overflows per-shard top-K"
+    for qi in range(len(q_offs)):
+        got = idx[:, qi, :][d2[:, qi, :] <= eps * eps * (1 + 1e-2) + 1e-3]
+        oo, _ = oracle.nsm_ed(data, queries[qi], eps, alpha=alpha, beta=beta)
+        assert set(oo.tolist()) <= set(got.tolist()), f"query {qi} lost answers"
+        # f64 confirm: survivors that really satisfy distance + constraints
+        exact = []
+        mu_q = ctxs[qi].params["_mu_q"]; sd_q = ctxs[qi].params["_sd_q"]
+        for i in set(int(v) for v in got.tolist()):
+            x = data[i:i + L]
+            mu, sd = x.mean(), x.std()
+            if sd <= 0 or abs(mu - mu_q) > beta: continue
+            if not (1 / alpha <= sd / sd_q <= alpha): continue
+            if np.sum(((x - mu) / sd - (queries[qi] - mu_q) / sd_q) ** 2) <= eps * eps:
+                exact.append(i)
+        assert set(exact) == set(oo.tolist())
+
+
+def test_sharded_dtw_query_matches_oracle(mesh, data):
+    """Sharded RSM-DTW step: envelope probe + on-device banded DP per shard."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kvmatch_tpu.engine.base import _Ctx, QueryStats
+    from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+    from kvmatch_tpu.parallel.query import (
+        make_sharded_query_step_dtw_batched, pack_segments_batch)
+    icfg = IndexConfig()
+    L, eps, rho = 256, 4.0, 12
+    index, stack = build_index_sharded(data, mesh, icfg)
+    engine = QueryEngineDtw(data, index=index, icfg=icfg)
+    q_offs = [8000, 24000]
+    queries = np.stack([data[o:o + L] for o in q_offs])
+    seg_lists = []
+    for qrow in queries:
+        ctx = _Ctx(query=qrow, length=L, epsilon=eps, eps2=eps * eps,
+                   params={"rho": rho}, stats=QueryStats())
+        seg_lists.append(engine._plan(ctx))
+    segs = pack_segments_batch(seg_lists, tuple(icfg.scales))
+
+    n_sh = mesh.devices.size
+    pad = (-data.size) % n_sh
+    padded = np.concatenate([data, np.zeros(pad)]) if pad else data
+    data_sh = jax.device_put(padded.astype(np.float32),
+                             NamedSharding(mesh, P("shard")))
+    step = make_sharded_query_step_dtw_batched(mesh, icfg, L, rho, top_k=2048)
+    eps2 = jnp.full(len(q_offs), eps * eps, jnp.float32)
+    counts, idx, d2 = step(data_sh, stack, jnp.asarray(queries, jnp.float32),
+                           segs, eps2, jnp.int32(data.size))
+    counts = np.asarray(counts)       # (n_sh, Q) per-shard candidate counts
+    idx, d2 = np.asarray(idx), np.asarray(d2)
+    assert counts.max() <= 2048, "workload overflows per-shard top-K"
+    from kvmatch_tpu.ops.dtw import dtw_banded_batch_f64
+    for qi in range(len(q_offs)):
+        got = idx[:, qi, :][d2[:, qi, :] <= eps * eps * (1 + 1e-2) + 1e-3]
+        oo, _ = oracle.rsm_dtw(data, queries[qi], eps, rho)
+        assert set(oo.tolist()) <= set(got.tolist()), f"query {qi} lost answers"
+        cand = np.asarray(sorted(set(int(v) for v in got.tolist())), np.int64)
+        if cand.size:
+            w = data[cand[:, None] + np.arange(L)[None, :]]
+            dh = dtw_banded_batch_f64(w, queries[qi], rho)
+            exact = cand[dh <= eps * eps]
+        else:
+            exact = np.empty(0, np.int64)
+        assert set(exact.tolist()) == set(oo.tolist())
