@@ -2,7 +2,7 @@
 
   python -m kvmatch_tpu.cli generate-data N [--seed S] [--out PATH]
       DataGenerator.main (DataGenerator.java:56-78)
-  python -m kvmatch_tpu.cli build-index DATA [--out DIR] [--fmt npz|file]
+  python -m kvmatch_tpu.cli build-index DATA [--out DIR] [--fmt npz|file] [--backend device|host]
       IndexBuilder.main (IndexBuilder.java:88-96)
   python -m kvmatch_tpu.cli query DATA --offset O --length L --epsilon E
       [--engine rsm-ed|rsm-dtw|cnsm-ed|cnsm-dtw] [--rho R] [--alpha A] [--beta B]
@@ -61,7 +61,8 @@ def cmd_build_index(args) -> int:
     from .storage.file import IndexFileStore, IndexNpzStore
     data = _load_data(args.data)
     stats: dict = {}
-    index = build_index_tpu(data, IndexConfig(), stats=stats)
+    index = build_index_tpu(data, IndexConfig(), stats=stats,
+                            backend=args.backend)
     if args.fmt == "npz":
         out = args.out or f"files/index-{data.size}.npz"
         IndexNpzStore(out).save(index)
@@ -204,6 +205,8 @@ def main(argv=None) -> int:
     b.add_argument("data")
     b.add_argument("--out")
     b.add_argument("--fmt", choices=["npz", "file"], default="npz")
+    b.add_argument("--backend", choices=["device", "host"], default="device",
+                   help="bucket pass on the TPU (default) or the fused C host kernel")
     b.set_defaults(fn=cmd_build_index)
 
     q = sub.add_parser("query")

@@ -24,6 +24,7 @@ _TRIED = False
 _I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _F64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _U64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+_I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
 def _build() -> ctypes.CDLL | None:
@@ -36,7 +37,7 @@ def _build() -> ctypes.CDLL | None:
     if not so.exists():
         tmp = so.with_suffix(".so.tmp")
         cmd = [os.environ.get("CC", "cc"), "-O3", "-march=native", "-shared",
-               "-fPIC", str(_SRC), "-o", str(tmp)]
+               "-fPIC", str(_SRC), "-o", str(tmp), "-lm"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except Exception:
@@ -67,6 +68,9 @@ def _build() -> ctypes.CDLL | None:
     lib.dtw_band_f64.argtypes = [
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
         _F64, _F64, _F64, _F64]
+    lib.bucket_pass.restype = None
+    lib.bucket_pass.argtypes = [
+        _F64, ctypes.c_long, ctypes.c_long, ctypes.c_double, _I32]
     lib.scan_fill.restype = ctypes.c_long
     lib.scan_fill.argtypes = [
         ctypes.c_long, _I64, _I64, _I64,
@@ -200,4 +204,17 @@ def dtw_band_f64(a_batch: np.ndarray, q: np.ndarray, r: int):
     out = np.empty(nb, np.float64)
     work = np.empty(2 * (m + 2), np.float64)
     lib.dtw_band_f64(nb, m, int(r), a_batch, q, out, work)
+    return out
+
+
+def bucket_pass(c1: np.ndarray, w: int, pos_of_d: int) -> np.ndarray | None:
+    """Fused window-mean -> int32 bucket-id pass from the f64 prefix array
+    (one stream, no temporaries); None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    c1 = np.ascontiguousarray(c1, np.float64)
+    m = c1.size - w      # = n - w + 1 outputs for n = c1.size - 1 points
+    out = np.empty(m, np.int32)
+    lib.bucket_pass(c1, m, int(w), 10.0 ** (pos_of_d - 1), out)
     return out

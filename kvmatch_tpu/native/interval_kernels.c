@@ -14,6 +14,7 @@
  */
 
 #include <stdint.h>
+#include <math.h>
 
 /* RSM engines: payloads = accumulated epsilon lower bound.
  * Emits every overlap piece with eps_a + eps_b <= eps2.
@@ -224,5 +225,22 @@ void dtw_band_f64(
             double *t = prev; prev = cur; cur = t;
         }
         out[b] = prev[m];
+    }
+}
+
+/* Fused bucket pass for host-side index builds: window means from the f64
+ * prefix-sum array straight to int32 bucket ids (2*floor(v*s) + half-step),
+ * one read + one write per output element.  Mirrors the device kernel
+ * (ops/sliding.py bucketize_means) and the reference's running-mean toRound
+ * pipeline (IndexBuilder.java:239-259, MeanIntervalUtils.java:51-61); replaces
+ * ~7 NumPy temporaries with a single stream at memory speed.  c1 has n+1
+ * entries (c1[0] = 0), m = n - w + 1 outputs. */
+void bucket_pass(const double *c1, long m, long w, double scale, int32_t *out)
+{
+    double inv = scale / (double)w;
+    for (long i = 0; i < m; i++) {
+        double v = (c1[i + w] - c1[i]) * inv;
+        double iv = floor(v);
+        out[i] = (int32_t)(2 * (long)iv + (v - iv >= 0.5 ? 1 : 0));
     }
 }

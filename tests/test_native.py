@@ -69,3 +69,40 @@ def test_intersect_ed_unit():
     # budget filter
     out = native.intersect_ed(cs, raw, eps2=2.0)
     np.testing.assert_array_equal(out["left"], [3])
+
+
+def test_bucket_pass_matches_numpy():
+    """Fused C bucket pass == rounding.bucket_id on the same f64 prefix sums,
+    including negative means and the half-cell boundary."""
+    import numpy as np
+    from kvmatch_tpu import native
+    from kvmatch_tpu.utils import rounding
+
+    rng = np.random.default_rng(7)
+    data = np.cumsum(rng.standard_normal(50_000)) * 0.3 - 5.0
+    # exact half-cell values exercise the >= 0.5 tie rule
+    data[100:200] = 1.25
+    c1 = np.concatenate(([0.0], np.cumsum(data)))
+    for w in (25, 50, 400):
+        got = native.bucket_pass(c1, w, 2)
+        if got is None:
+            import pytest
+            pytest.skip("native unavailable")
+        ref = rounding.bucket_id((c1[w:] - c1[:-w]) / w, 2).astype(np.int32)
+        assert np.array_equal(got, ref)
+
+
+def test_host_and_device_builds_answer_identically(setup):
+    """The host-C and device bucket passes may bucket a window differently at
+    f32/f64 cell edges (both indexes are valid — each is self-consistent and
+    the probe guard covers the edge slack); the contract is equal ANSWERS."""
+    from kvmatch_tpu.index.build import build_index_numpy, build_index_tpu
+    data, _ = setup
+    ih = build_index_numpy(data)
+    idv = build_index_tpu(data)
+    eh = QueryEngine(data, index=ih, icfg=IndexConfig())
+    ed = QueryEngine(data, index=idv, icfg=IndexConfig())
+    for off, L, eps in [(5000, 256, 4.0), (20000, 1024, 9.0)]:
+        ah, _ = _answers(eh, data, off, L, eps)
+        ad, _ = _answers(ed, data, off, L, eps)
+        assert ah == ad and off in ah
