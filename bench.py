@@ -56,10 +56,12 @@ def main() -> int:
     data = generate_series(n, seed=20260816)
 
     # --- index build ---------------------------------------------------------
+    # backend="host": the fused C bucket pass beats the device pass end-to-end
+    # behind the tunnel (no D2H of the bucket arrays); the device pass is
+    # exercised separately by tests and the dense-probe stack upload below.
     icfg = IndexConfig()
-    build_index_tpu(data[: min(n, 200_000)], icfg)  # compile warmup
     stats: dict = {}
-    index = build_index_tpu(data, icfg, stats=stats)
+    index = build_index_tpu(data, icfg, stats=stats, backend="host")
     build_mpts = stats.get("mpts_per_second", 0.0)
 
     engine = QueryEngine(data, index=index, icfg=icfg)

@@ -71,6 +71,15 @@ def _build() -> ctypes.CDLL | None:
     lib.bucket_pass.restype = None
     lib.bucket_pass.argtypes = [
         _F64, ctypes.c_long, ctypes.c_long, ctypes.c_double, _I32]
+    lib.rle_cap.restype = ctypes.c_long
+    lib.rle_cap.argtypes = [
+        _I32, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.group_merge.restype = ctypes.c_long
+    lib.group_merge.argtypes = [
+        ctypes.c_long, _I64, _I64, _I64, _I64, _I64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_long,
+        _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64]
     lib.scan_fill.restype = ctypes.c_long
     lib.scan_fill.argtypes = [
         ctypes.c_long, _I64, _I64, _I64,
@@ -218,3 +227,48 @@ def bucket_pass(c1: np.ndarray, w: int, pos_of_d: int) -> np.ndarray | None:
     out = np.empty(m, np.int32)
     lib.bucket_pass(c1, m, int(w), 10.0 ** (pos_of_d - 1), out)
     return out
+
+
+def rle_cap(buckets: np.ndarray, cap: int):
+    """Run-length encode with cap split (two C passes: count then fill);
+    returns (bucket, left, right) or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(buckets, np.int32)
+    m = b.size
+    k = lib.rle_cap(b, m, int(cap), None, None, None)
+    ob = np.empty(k, np.int32)
+    ol = np.empty(k, np.int64)
+    orr = np.empty(k, np.int64)
+    lib.rle_cap(b, m, int(cap),
+                ob.ctypes.data_as(ctypes.c_void_p),
+                ol.ctypes.data_as(ctypes.c_void_p),
+                orr.ctypes.data_as(ctypes.c_void_p))
+    return ob, ol, orr
+
+
+def group_merge(row_start, row_end, ubucket, left, right,
+                merge_thresh: float, shrink_factor: float, cap: int):
+    """Descending-key row merge (IndexBuilder.java:308-346 policy) in C;
+    returns (keys_desc, counts_desc, flat_left, flat_right) with rows in
+    DESCENDING key order, or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    total = int(left.size)
+    R = int(ubucket.size)
+    out_key = np.empty(R, np.int64)
+    out_count = np.empty(R, np.int64)
+    ol = np.empty(total, np.int64)
+    orr = np.empty(total, np.int64)
+    wl = np.empty(total, np.int64)
+    wr = np.empty(total, np.int64)
+    w2l = np.empty(total, np.int64)
+    w2r = np.empty(total, np.int64)
+    nrows = lib.group_merge(R, _c64(row_start), _c64(row_end), _c64(ubucket),
+                            _c64(left), _c64(right),
+                            float(merge_thresh), float(shrink_factor), int(cap),
+                            out_key, out_count, ol, orr, wl, wr, w2l, w2r)
+    used = int(out_count[:nrows].sum())
+    return out_key[:nrows], out_count[:nrows], ol[:used], orr[:used]

@@ -244,3 +244,117 @@ void bucket_pass(const double *c1, long m, long w, double scale, int32_t *out)
         out[i] = (int32_t)(2 * (long)iv + (v - iv >= 0.5 ? 1 : 0));
     }
 }
+
+/* Run-length encode equal-bucket runs with the MAXIMUM_DIFF cap split
+ * (IndexBuilder.java:268 discipline; mirrors index/build.py _rle_cap).
+ * Two-pass protocol: call with out buffers NULL to get the piece count, then
+ * with buffers of that size to fill.  Positions are 0-based inclusive. */
+long rle_cap(const int32_t *b, long m, long cap,
+             int32_t *ob, int64_t *ol, int64_t *orr)
+{
+    long k = 0;
+    long i = 0;
+    while (i < m) {
+        long j = i + 1;
+        int32_t v = b[i];
+        while (j < m && b[j] == v) j++;
+        for (long s = i; s < j; s += cap) {
+            long e = s + cap - 1 < j - 1 ? s + cap - 1 : j - 1;
+            if (ob) { ob[k] = v; ol[k] = s; orr[k] = e; }
+            k++;
+        }
+        i = j;
+    }
+    return k;
+}
+
+/* Sorted union of two disjoint interval lists, merging overlapping/adjacent
+ * intervals and re-splitting pieces wider than cap
+ * (IndexNodeUtils.mergeIndexNode semantics, IndexNodeUtils.java:30-90).
+ * Returns the output count; out capacity must be >= na + nb. */
+static long union_resplit(long na, const int64_t *al, const int64_t *ar,
+                          long nb, const int64_t *bl, const int64_t *br,
+                          long cap, int64_t *ol, int64_t *orr)
+{
+    long i = 0, j = 0, k = 0;
+    int64_t gl = 0, gr = -2;     /* current merged group; gr < gl-1 = empty */
+    int have = 0;
+    while (i < na || j < nb) {
+        int64_t l, r;
+        if (j >= nb || (i < na && al[i] <= bl[j])) { l = al[i]; r = ar[i]; i++; }
+        else { l = bl[j]; r = br[j]; j++; }
+        if (have && l - 1 <= gr) {
+            if (r > gr) gr = r;
+            continue;
+        }
+        if (have) {
+            for (int64_t s = gl; s <= gr; s += cap) {
+                int64_t e = s + cap - 1 < gr ? s + cap - 1 : gr;
+                ol[k] = s; orr[k] = e; k++;
+            }
+        }
+        gl = l; gr = r; have = 1;
+    }
+    if (have) {
+        for (int64_t s = gl; s <= gr; s += cap) {
+            int64_t e = s + cap - 1 < gr ? s + cap - 1 : gr;
+            ol[k] = s; orr[k] = e; k++;
+        }
+    }
+    return k;
+}
+
+/* Variable-width descending-key row merge (IndexBuilder.java:308-346; mirrors
+ * index/build.py _group_and_merge): scan unique buckets descending, merge a
+ * row into the running group when its interval count < merge_thresh and the
+ * union shrinks below shrink_factor * (sum of part counts); a merged row
+ * keeps the group's smallest key.
+ *
+ * Inputs: R rows ascending by bucket; row i owns l/r[row_start[i]..row_end[i]).
+ * Outputs (DESCENDING key order; caller reverses): out_key/out_count per final
+ * row, flat ol/orr interval stream.  Work buffers wl/wr/w2l/w2r must hold the
+ * total interval count each; ol/orr likewise.  Returns the final row count. */
+long group_merge(long R, const int64_t *row_start, const int64_t *row_end,
+                 const int64_t *ubucket, const int64_t *l, const int64_t *r,
+                 double merge_thresh, double shrink_factor, long cap,
+                 int64_t *out_key, int64_t *out_count,
+                 int64_t *ol, int64_t *orr,
+                 int64_t *wl, int64_t *wr, int64_t *w2l, int64_t *w2r)
+{
+    long nrows = 0, outp = 0;
+    long cur_n = 0;
+    int64_t cur_key = 0;
+    for (long idx = R - 1; idx >= 0; idx--) {
+        long n_i = row_end[idx] - row_start[idx];
+        const int64_t *li = l + row_start[idx];
+        const int64_t *ri = r + row_start[idx];
+        if (cur_n == 0) {
+            for (long t = 0; t < n_i; t++) { wl[t] = li[t]; wr[t] = ri[t]; }
+            cur_n = n_i; cur_key = ubucket[idx];
+            continue;
+        }
+        int merged = 0;
+        if ((double)n_i < merge_thresh) {
+            long mn = union_resplit(cur_n, wl, wr, n_i, li, ri, cap, w2l, w2r);
+            if ((double)mn < shrink_factor * (double)(cur_n + n_i)) {
+                int64_t *t;
+                t = wl; wl = w2l; w2l = t;
+                t = wr; wr = w2r; w2r = t;
+                cur_n = mn; cur_key = ubucket[idx];
+                merged = 1;
+            }
+        }
+        if (!merged) {
+            out_key[nrows] = cur_key; out_count[nrows] = cur_n; nrows++;
+            for (long t = 0; t < cur_n; t++) { ol[outp + t] = wl[t]; orr[outp + t] = wr[t]; }
+            outp += cur_n;
+            for (long t = 0; t < n_i; t++) { wl[t] = li[t]; wr[t] = ri[t]; }
+            cur_n = n_i; cur_key = ubucket[idx];
+        }
+    }
+    if (cur_n > 0) {
+        out_key[nrows] = cur_key; out_count[nrows] = cur_n; nrows++;
+        for (long t = 0; t < cur_n; t++) { ol[outp + t] = wl[t]; orr[outp + t] = wr[t]; }
+    }
+    return nrows;
+}

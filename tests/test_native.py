@@ -106,3 +106,36 @@ def test_host_and_device_builds_answer_identically(setup):
         ah, _ = _answers(eh, data, off, L, eps)
         ad, _ = _answers(ed, data, off, L, eps)
         assert ah == ad and off in ah
+
+
+def test_build_native_matches_numpy(monkeypatch):
+    """C rle_cap + group_merge produce a bit-identical index to the NumPy
+    grouping path, including adversarial bucket patterns (long runs over the
+    255-cap, alternating singletons, constant regions)."""
+    from kvmatch_tpu.index import build as B
+
+    rng = np.random.default_rng(3)
+    data = np.cumsum(rng.standard_normal(120_000)) * 0.25
+    data[10_000:12_000] = 3.0          # constant run >> cap
+    data[50_000:50_400] = np.repeat([0.0, 0.7], 200)  # sharp alternation
+    icfg = IndexConfig()
+    a = B.build_index_numpy(data, icfg)
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    b = B.build_index_numpy(data, icfg)
+    for w in a:
+        for f in ("keys", "row_ptr", "left", "right",
+                  "cum_intervals", "cum_offsets"):
+            assert np.array_equal(getattr(a[w], f), getattr(b[w], f)), (w, f)
+        assert a[w].mean_upper_bound == b[w].mean_upper_bound
+
+
+def test_rle_cap_unit():
+    """C RLE against hand-computed runs incl. an exact multiple of the cap."""
+    if native.get_lib() is None:
+        pytest.skip("native unavailable")
+    b = np.array([5] * 600 + [7] * 255 + [5] + [9] * 2, np.int32)
+    ob, ol, orr = native.rle_cap(b, 255)
+    # 600 = 255 + 255 + 90; then 255; then 1; then 2
+    assert ob.tolist() == [5, 5, 5, 7, 5, 9]
+    assert ol.tolist() == [0, 255, 510, 600, 855, 856]
+    assert orr.tolist() == [254, 509, 599, 854, 855, 857]
