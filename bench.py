@@ -45,7 +45,7 @@ def main() -> int:
     # minutes and must not pollute any measurement.
     _ = np.asarray(jnp.ones(1024))
 
-    from kvmatch_tpu.config import IndexConfig
+    from kvmatch_tpu.config import IndexConfig, QueryConfig
     from kvmatch_tpu.data.generators import generate_series
     from kvmatch_tpu.engine.norm_ed import NormQueryEngine
     from kvmatch_tpu.engine.rsm_ed import QueryEngine
@@ -64,7 +64,8 @@ def main() -> int:
     index = build_index_tpu(data, icfg, stats=stats, backend="host")
     build_mpts = stats.get("mpts_per_second", 0.0)
 
-    engine = QueryEngine(data, index=index, icfg=icfg)
+    qcfg = QueryConfig.tpu_tuned()
+    engine = QueryEngine(data, index=index, icfg=icfg, qcfg=qcfg)
 
     # --- README demo query ---------------------------------------------------
     L, eps, demo_off = 8192, 10.0, 123_455  # 0-based = reference offset 123456
@@ -102,7 +103,7 @@ def main() -> int:
     rsm_near = int(np.sum([r.stats.n_host_rechecked for r in batch_res]))
 
     # --- batched cNSM-ED throughput -----------------------------------------
-    neng = NormQueryEngine(data, index=index, icfg=icfg,
+    neng = NormQueryEngine(data, index=index, icfg=icfg, qcfg=qcfg,
                            device_data=engine.data_dev)
     nq2 = 32 if args.quick else 128
     offs2 = offs[:nq2]
@@ -138,7 +139,7 @@ def main() -> int:
 
     # --- RSM-DTW single-query latency ---------------------------------------
     from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
-    deng = QueryEngineDtw(data, index=index, icfg=icfg,
+    deng = QueryEngineDtw(data, index=index, icfg=icfg, qcfg=qcfg,
                           device_data=engine.data_dev)
     dtw_L, rho = 1024, 51
     deng.query_at(demo_off, dtw_L, 6.0, rho=rho)  # warmup

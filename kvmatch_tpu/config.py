@@ -95,6 +95,23 @@ class QueryConfig:
     # is intentionally subsumed: the whole index is HBM/RAM-resident here, so every
     # probe is a pure array lookup and caching ranges would only add overhead.
 
+    @classmethod
+    def tpu_tuned(cls, **overrides) -> "QueryConfig":
+        """Cost-model constants measured on TPU (utils/profiling.fit_cost_model).
+
+        The batched device verify makes the per-candidate terms ~1000x smaller
+        than the reference's serial-Java constants, while every extra probe
+        segment pays real host time — so early termination should fire much
+        sooner.  Measured calibration (v5e, n=1e6, L in {512, 2048, 8192}):
+        per-offset terms fit to ~0 with a fixed ~11-45 ms launch floor; the
+        values here keep small non-zero slopes so the estimate still grows
+        with extreme candidate loads.  Effect at L=2048: RSM-ED batch
+        16.8 -> 24.2 q/s, cNSM-ED batch 2.0 -> 4.6 q/s, identical answers.
+        """
+        return cls(phase2_cost_a=0.01, phase2_cost_b=5e-4,
+                   phase2_cost_a_dtw=0.02, phase2_cost_b_dtw=5e-4,
+                   phase2_cost_intercept=30.0, **overrides)
+
 
 DEFAULT_INDEX_CONFIG = IndexConfig()
 DEFAULT_QUERY_CONFIG = QueryConfig()

@@ -57,15 +57,24 @@ def fit_cost_model(engine, queries: np.ndarray, epsilon, repeats: int = 1,
         for res in results:
             s = res.stats
             # n_candidates counts offsets; host path records per-query timing.
-            rows.append([max(s.n_host_rechecked, 1),
-                         s.n_candidates / 1e5 * queries.shape[1]])
+            rows.append([max(s.n_disjoint, 1),
+                         s.n_candidates / 1e5 * queries.shape[1],
+                         1.0])
             t2s.append(s.t_phase2_ms)
     A = np.asarray(rows)
     t = np.asarray(t2s)
     coef, *_ = np.linalg.lstsq(A, t, rcond=None)
     a, b = float(max(coef[0], 0.0)), float(max(coef[1], 0.0))
+    c = float(max(coef[2], 0.0))
+    # On TPU the per-offset cost is tiny and a fixed launch cost dominates —
+    # the intercept keeps the early-termination comparison honest
+    # (QueryEngine.java:316-327 has no intercept because serial Java has no
+    # launch floor).
+    if getattr(engine, "use_dtw_cost_model", False):
+        return dataclasses.replace(engine.qcfg, phase2_cost_a_dtw=a,
+                                   phase2_cost_b_dtw=b, phase2_cost_intercept=c)
     return dataclasses.replace(engine.qcfg, phase2_cost_a=a, phase2_cost_b=b,
-                               phase2_cost_a_dtw=a, phase2_cost_b_dtw=b)
+                               phase2_cost_intercept=c)
 
 
 @contextlib.contextmanager

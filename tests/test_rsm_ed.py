@@ -84,3 +84,24 @@ def test_non_multiple_lengths(setup, length):
     data, engine = setup
     offset = 4321
     _check(engine, data, offset, length, 3.0)
+
+
+def test_tpu_tuned_config_same_answers():
+    """The TPU-fitted cost model changes only WHEN phase 1 stops, never the
+    answer set (phase 2 verifies whatever phase 1 hands it)."""
+    import numpy as np
+    from kvmatch_tpu.config import IndexConfig, QueryConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.rsm_ed import QueryEngine
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    data = generate_series(50_000, seed=9)
+    icfg = IndexConfig()
+    index = build_index_numpy(data, icfg)
+    e1 = QueryEngine(data, index=index, icfg=icfg)
+    e2 = QueryEngine(data, index=index, icfg=icfg, qcfg=QueryConfig.tpu_tuned())
+    for off, L, eps in [(4000, 512, 6.0), (30000, 1024, 10.0)]:
+        r1 = e1.query_at(off, L, eps)
+        r2 = e2.query_at(off, L, eps)
+        assert set(r1.offsets.tolist()) == set(r2.offsets.tolist())
+        assert off in r2.offsets.tolist()
