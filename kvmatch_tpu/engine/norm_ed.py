@@ -106,6 +106,17 @@ class NormQueryEngine(BaseEngine):
         return cost_batch
 
     def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+        if "alpha" not in ctx.params or "beta" not in ctx.params:
+            # Unconstrained NSM cannot use the mean-bucket index: z-normalization
+            # removes exactly the information the index stores (the cNSM
+            # constraints are what make index pruning possible — the paper's
+            # point, NormQueryEngine.java:225-231).  The reference handles plain
+            # NSM with its UCR full-scan executors; ours is
+            # baselines.UcrScanner.scan_nsm_ed(query, eps) with alpha=None.
+            raise ValueError(
+                "NormQueryEngine requires alpha= and beta= (cNSM constraints); "
+                "for unconstrained NSM use "
+                "kvmatch_tpu.baselines.UcrScanner.scan_nsm_ed")
         q = ctx.query
         mu_q = float(q.mean())
         sd_q = float(np.sqrt(max(np.mean(q * q) - mu_q * mu_q, 0.0)))

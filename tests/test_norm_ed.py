@@ -68,3 +68,18 @@ def test_filters_off_still_exact(setup):
         r1 = engine.query_at(off, L, eps, alpha=a, beta=b)
         r2 = plain.query_at(off, L, eps, alpha=a, beta=b)
         assert set(r1.offsets.tolist()) == set(r2.offsets.tolist())
+
+
+def test_plain_nsm_rejected_with_pointer():
+    """Unconstrained NSM can't use the mean index; the engine must say so and
+    point at the full-scan path rather than raise a raw KeyError."""
+    import pytest
+    from kvmatch_tpu.config import IndexConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    data = generate_series(30_000, seed=2)
+    eng = NormQueryEngine(data, index=build_index_numpy(data, IndexConfig()))
+    with pytest.raises(ValueError, match="scan_nsm_ed"):
+        eng.query_at(7000, 512, 2.0)
