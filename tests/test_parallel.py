@@ -288,3 +288,18 @@ def test_sharded_dtw_query_matches_oracle(mesh, data):
         else:
             exact = np.empty(0, np.int64)
         assert set(exact.tolist()) == set(oo.tolist())
+
+
+def test_multislice_ring_order(mesh, data):
+    """Slice-major ordering is a no-op on single-slice devices, and the sharded
+    build is invariant to being constructed through the multislice helper."""
+    from kvmatch_tpu.parallel.mesh import make_mesh_multislice, order_devices_for_ring
+    devs = order_devices_for_ring(jax.devices())
+    assert [d.id for d in devs] == sorted(d.id for d in jax.devices())
+    ms = make_mesh_multislice()
+    icfg = IndexConfig()
+    i1, s1 = build_index_sharded(data, mesh, icfg)
+    i2, s2 = build_index_sharded(data, ms, icfg)
+    for w in i1:
+        assert np.array_equal(i1[w].left, i2[w].left)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
