@@ -201,8 +201,26 @@ class BaseEngine:
         return float(sc.cum_intervals[-1]) if sc.num_rows else 1.0
 
     # ------------------------------------------------------------------ hooks
-    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+    def _plan_inputs(self, ctx: _Ctx):
+        """(sums_lo, sums_hi, cost_batch_fn) for the segmentation DP."""
         raise NotImplementedError
+
+    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+        from ..plan import determine_query_plan
+        lo, hi, fn = self._plan_inputs(ctx)
+        return determine_query_plan(ctx.length, lo, hi, fn,
+                                    self.icfg, self.qcfg)
+
+    def _plan_batch(self, ctxs) -> list:
+        """Plan a same-length query batch with the stacked DP (identical
+        output to per-query _plan; the 30x5 transition ops amortize)."""
+        from ..plan import determine_query_plans_batched
+        parts = [self._plan_inputs(c) for c in ctxs]
+        lo = np.stack([pt[0] for pt in parts])
+        hi = np.stack([pt[1] for pt in parts])
+        return determine_query_plans_batched(
+            ctxs[0].length, lo, hi, [pt[2] for pt in parts],
+            self.icfg, self.qcfg)
 
     def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:
         raise NotImplementedError
@@ -434,13 +452,12 @@ class BaseEngine:
         nq, L = queries.shape
         eps = np.broadcast_to(np.asarray(epsilon, np.float64), (nq,))
         t0 = _time.perf_counter()
-        ctxs, seg_lists = [], []
+        ctxs = []
         for qi in range(nq):
-            ctx = _Ctx(query=queries[qi], length=L, epsilon=float(eps[qi]),
-                       eps2=float(eps[qi]) ** 2, params=dict(params),
-                       stats=QueryStats())
-            seg_lists.append(self._plan(ctx))
-            ctxs.append(ctx)
+            ctxs.append(_Ctx(query=queries[qi], length=L, epsilon=float(eps[qi]),
+                             eps2=float(eps[qi]) ** 2, params=dict(params),
+                             stats=QueryStats()))
+        seg_lists = self._plan_batch(ctxs)
         counts, idx = self._device_phase1_batched(
             ctxs, seg_lists, norm="alpha" in params, top_k=top_k)
 
@@ -485,15 +502,16 @@ class BaseEngine:
         cand_ivs: List[Tuple[np.ndarray, np.ndarray]] = []
         t0 = time.perf_counter()
         for qi in range(nq):
-            ctx = _Ctx(query=queries[qi], length=queries.shape[1],
-                       epsilon=float(eps[qi]), eps2=float(eps[qi]) ** 2,
-                       params=dict(params), stats=QueryStats())
-            segments = self._plan(ctx)
-            cs, last_segment = self._phase1(segments, ctx)
+            ctxs.append(_Ctx(query=queries[qi], length=queries.shape[1],
+                             epsilon=float(eps[qi]), eps2=float(eps[qi]) ** 2,
+                             params=dict(params), stats=QueryStats()))
+        seg_lists = self._plan_batch(ctxs)
+        for qi in range(nq):
+            ctx = ctxs[qi]
+            cs, last_segment = self._phase1(seg_lists[qi], ctx)
             c_l, c_r = self._candidate_intervals(cs, last_segment, ctx.length)
             ctx.stats.n_candidates = int(np.sum(c_r - c_l + 1)) if c_l.size else 0
             ctx.stats.n_disjoint = int(c_l.size)
-            ctxs.append(ctx)
             cand_ivs.append((c_l, c_r))
         t_verify = time.perf_counter()
         per_query = self._verify_multi(cand_ivs, ctxs)

@@ -13,7 +13,7 @@ from typing import List, Tuple
 import numpy as np
 
 from ..ops.dtw import dtw_banded_batch_f64
-from ..plan import QuerySegment, determine_query_plan, envelope, unit_sums
+from ..plan import QuerySegment, envelope, unit_sums
 from .. import verify as vf
 from .base import _Ctx
 from .norm_ed import NormQueryEngine
@@ -22,17 +22,15 @@ from .norm_ed import NormQueryEngine
 class NormQueryEngineDtw(NormQueryEngine):
 
     # ---------------------------------------------------------------- phase 0
-    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+    def _plan_inputs(self, ctx: _Ctx):
         q = ctx.query
         mu_q = float(q.mean())
         sd_q = float(np.sqrt(max(np.mean(q * q) - mu_q * mu_q, 0.0)))
         ctx.params["_mu_q"], ctx.params["_sd_q"] = mu_q, sd_q
         rho = ctx.params["rho"]
         env_lo, env_hi = envelope(q, rho)
-        sums_lo = unit_sums(env_lo, self.icfg.unit)
-        sums_hi = unit_sums(env_hi, self.icfg.unit)
-        return determine_query_plan(ctx.length, sums_lo, sums_hi,
-                                    self._cost_batch(ctx), self.icfg, self.qcfg)
+        return (unit_sums(env_lo, self.icfg.unit),
+                unit_sums(env_hi, self.icfg.unit), self._cost_batch(ctx))
 
     # ---------------------------------------------------------------- phase 2
     def _verify_multi(self, cand_ivs, ctxs):

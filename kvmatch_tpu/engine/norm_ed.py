@@ -25,7 +25,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..ops.ed import znorm_ed_distances
-from ..plan import QuerySegment, determine_query_plan, unit_sums
+from ..plan import QuerySegment, unit_sums
 from ..utils import intervals as iv
 from ..utils import rounding
 from .. import verify as vf
@@ -105,7 +105,7 @@ class NormQueryEngine(BaseEngine):
 
         return cost_batch
 
-    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+    def _plan_inputs(self, ctx: _Ctx):
         if "alpha" not in ctx.params or "beta" not in ctx.params:
             # Unconstrained NSM cannot use the mean-bucket index: z-normalization
             # removes exactly the information the index stores (the cNSM
@@ -122,8 +122,7 @@ class NormQueryEngine(BaseEngine):
         sd_q = float(np.sqrt(max(np.mean(q * q) - mu_q * mu_q, 0.0)))
         ctx.params["_mu_q"], ctx.params["_sd_q"] = mu_q, sd_q
         sums = unit_sums(q, self.icfg.unit)
-        return determine_query_plan(ctx.length, sums, sums, self._cost_batch(ctx),
-                                    self.icfg, self.qcfg)
+        return sums, sums, self._cost_batch(ctx)
 
     # ---------------------------------------------------------------- phase 1
     def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:

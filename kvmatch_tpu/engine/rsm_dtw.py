@@ -14,7 +14,7 @@ from typing import List, Tuple
 import numpy as np
 
 from ..ops.dtw import dtw_banded_batch_f64
-from ..plan import QuerySegment, determine_query_plan, envelope, unit_sums
+from ..plan import QuerySegment, envelope, unit_sums
 from .. import verify as vf
 from .base import _Ctx
 from .rsm_ed import QueryEngine
@@ -24,13 +24,11 @@ class QueryEngineDtw(QueryEngine):
     use_dtw_cost_model = True
 
     # ---------------------------------------------------------------- phase 0
-    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+    def _plan_inputs(self, ctx: _Ctx):
         rho = ctx.params["rho"]
         env_lo, env_hi = envelope(ctx.query, rho)
-        sums_lo = unit_sums(env_lo, self.icfg.unit)
-        sums_hi = unit_sums(env_hi, self.icfg.unit)
-        return determine_query_plan(ctx.length, sums_lo, sums_hi,
-                                    self._cost_batch(ctx), self.icfg, self.qcfg)
+        return (unit_sums(env_lo, self.icfg.unit),
+                unit_sums(env_hi, self.icfg.unit), self._cost_batch(ctx))
 
     # ---------------------------------------------------------------- phase 1
     def _scan(self, seg: QuerySegment, ctx: _Ctx):

@@ -12,7 +12,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..ops.ed import ed_distances
-from ..plan import QuerySegment, determine_query_plan, unit_sums
+from ..plan import QuerySegment, unit_sums
 from ..utils import intervals as iv
 from ..utils import rounding
 from .. import verify as vf
@@ -41,10 +41,9 @@ class QueryEngine(BaseEngine):
 
         return cost_batch
 
-    def _plan(self, ctx: _Ctx) -> List[QuerySegment]:
+    def _plan_inputs(self, ctx: _Ctx):
         sums = unit_sums(ctx.query, self.icfg.unit)
-        return determine_query_plan(ctx.length, sums, sums, self._cost_batch(ctx),
-                                    self.icfg, self.qcfg)
+        return sums, sums, self._cost_batch(ctx)
 
     # ---------------------------------------------------------------- phase 1
     def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:

@@ -142,3 +142,86 @@ def determine_query_plan(
     if qcfg.enable_query_reordering:
         segments.sort(key=lambda s: s.count)  # most selective first
     return segments
+
+
+def determine_query_plans_batched(
+    length: int,
+    sums_lo_q: np.ndarray,
+    sums_hi_q: np.ndarray,
+    cost_batch_fns: List[CostBatchFn],
+    icfg: IndexConfig,
+    qcfg: QueryConfig,
+) -> List[List[QuerySegment]]:
+    """Batched ``determine_query_plan``: the same DP with all queries stacked on
+    a leading axis, so the 30x5 small-array transition ops amortize across the
+    batch (they dominate planning time for 100+-query batches).  Inputs are
+    (Q, m) unit-sum tracks and one cost function per query; output plans are
+    identical to per-query calls (tested)."""
+    unit = icfg.unit
+    Q, m = sums_lo_q.shape
+    max_j = min(m, qcfg.max_segments)
+    enabled_k = [k for k in range(1, len(icfg.wu_list) + 1)
+                 if icfg.wu_enabled[k - 1] and icfg.wu_list[k - 1] == unit * k
+                 and k <= m]
+
+    pre_lo = np.concatenate([np.zeros((Q, 1)), np.cumsum(sums_lo_q, axis=1)], axis=1)
+    pre_hi = np.concatenate([np.zeros((Q, 1)), np.cumsum(sums_hi_q, axis=1)], axis=1)
+
+    means_lo, means_hi, costs, counts = {}, {}, {}, {}
+    for k in enabled_k:
+        w = unit * k
+        mlo = (pre_lo[:, k:] - pre_lo[:, : m - k + 1]) / w
+        mhi = (pre_hi[:, k:] - pre_hi[:, : m - k + 1]) / w
+        c = np.empty_like(mlo)
+        cnt = np.empty(mlo.shape, np.int64)
+        for qi in range(Q):
+            c[qi], cnt[qi] = cost_batch_fns[qi](w, mlo[qi], mhi[qi])
+        means_lo[k], means_hi[k], costs[k], counts[k] = mlo, mhi, c, cnt
+
+    INF = float("inf")
+    dp = np.full((max_j + 1, Q, m + 1), INF)
+    pre = np.full((max_j + 1, Q, m + 1), -1, np.int64)
+    dp[0, :, 0] = 0.0
+    for j in range(1, max_j + 1):
+        best = np.full((Q, m + 1), INF)
+        best_k = np.full((Q, m + 1), -1, np.int64)
+        for k in enabled_k:
+            base = dp[j - 1, :, : m - k + 1]
+            with np.errstate(invalid="ignore"):
+                cand = np.where(np.isfinite(base),
+                                ((j - 1) * base + costs[k]) / j, INF)
+            cur = best[:, k:]
+            better = cand < cur
+            best[:, k:] = np.where(better, cand, cur)
+            best_k[:, k:] = np.where(better, k, best_k[:, k:])
+        dp[j] = best
+        pre[j] = best_k
+
+    j_lo = max(1, (int(math.floor(math.log2(length))) - 1) // 2)
+    out: List[List[QuerySegment]] = []
+    for qi in range(Q):
+        best_v, p = INF, -1
+        for j in range(j_lo, max_j + 1):
+            if dp[j, qi, m] <= best_v:
+                best_v, p = dp[j, qi, m], j
+        if p < 0 or not np.isfinite(dp[p, qi, m]):
+            for j in range(1, max_j + 1):
+                if np.isfinite(dp[j, qi, m]):
+                    best_v, p = dp[j, qi, m], j
+                    break
+        segments: List[QuerySegment] = []
+        index, j = m, p
+        while index > 0 and j > 0 and pre[j, qi, index] > 0:
+            k = int(pre[j, qi, index])
+            l = index - k
+            segments.append(QuerySegment(order=l + 1, w=unit * k,
+                                         mean_lo=float(means_lo[k][qi, l]),
+                                         mean_hi=float(means_hi[k][qi, l]),
+                                         count=int(counts[k][qi, l])))
+            index -= k
+            j -= 1
+        segments.reverse()
+        if qcfg.enable_query_reordering:
+            segments.sort(key=lambda s: s.count)
+        out.append(segments)
+    return out

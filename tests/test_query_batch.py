@@ -85,3 +85,40 @@ def test_norm_dtw_batch_matches_single(setup):
         single = engine.query_at(o, L, 3.0, rho=rho, alpha=1.3, beta=12.0)
         assert set(res.offsets.tolist()) == set(single.offsets.tolist())
         assert o in res.offsets.tolist()
+
+
+def test_batched_planning_identical_to_per_query():
+    """determine_query_plans_batched == per-query determine_query_plan for all
+    four engines (same segments, same order)."""
+    import numpy as np
+    from kvmatch_tpu.config import IndexConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.base import _Ctx, QueryStats
+    from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+    from kvmatch_tpu.engine.rsm_ed import QueryEngine
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    data = generate_series(60_000, seed=17)
+    icfg = IndexConfig()
+    index = build_index_numpy(data, icfg)
+    rng = np.random.default_rng(4)
+    L = 512
+    offs = rng.integers(0, data.size - L, 6)
+    queries = np.stack([data[o:o + L] for o in offs])
+    cases = [
+        (QueryEngine, {}),
+        (QueryEngineDtw, {"rho": 25}),
+        (NormQueryEngine, {"alpha": 1.3, "beta": 8.0}),
+        (NormQueryEngineDtw, {"rho": 25, "alpha": 1.3, "beta": 8.0}),
+    ]
+    for cls, params in cases:
+        eng = cls(data, index=index, icfg=icfg)
+        ctxs = [_Ctx(query=q, length=L, epsilon=4.0, eps2=16.0,
+                     params=dict(params), stats=QueryStats()) for q in queries]
+        batched = eng._plan_batch(ctxs)
+        singles = [eng._plan(_Ctx(query=q, length=L, epsilon=4.0, eps2=16.0,
+                                  params=dict(params), stats=QueryStats()))
+                   for q in queries]
+        assert batched == singles, cls.__name__
