@@ -15,7 +15,7 @@ from .config import IndexConfig, QueryConfig
 __all__ = [
     "IndexConfig", "QueryConfig",
     "QueryEngine", "QueryEngineDtw", "NormQueryEngine", "NormQueryEngineDtw",
-    "LongQueryEngine", "UcrScanner",
+    "LongQueryEngine", "UcrScanner", "StreamingIndexBuilder",
 ]
 
 
@@ -42,4 +42,7 @@ def __getattr__(name):
     if name == "UcrScanner":
         from .baselines import UcrScanner
         return UcrScanner
+    if name == "StreamingIndexBuilder":
+        from .index.streaming import StreamingIndexBuilder
+        return StreamingIndexBuilder
     raise AttributeError(name)
