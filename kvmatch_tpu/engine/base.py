@@ -17,6 +17,7 @@ Subclasses provide four hooks:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -27,6 +28,8 @@ from ..index.build import build_index_tpu
 from ..index.structure import Index, IndexScale
 from ..plan import QuerySegment
 from ..utils import intervals as iv
+
+logger = logging.getLogger("kvmatch_tpu")
 
 
 @dataclasses.dataclass
@@ -347,12 +350,19 @@ class BaseEngine:
                 return cs, (segments[i + 1].order if i + 1 < len(segments) else seg.order)
 
             n_disjoint, n_offsets = iv.count_stats(cs)
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug("segment %d (order=%d w=%d): %d disjoint ranges, "
+                             "%d offsets", i + 1, seg.order, seg.w,
+                             n_disjoint, n_offsets)
             if qcfg.enable_early_termination:
                 t1_ms = (time.perf_counter() - t0) * 1e3
                 est2 = (cost_a * n_disjoint +
                         cost_b * n_offsets / 1e5 * ctx.length +
                         qcfg.phase2_cost_intercept)
                 estimate = t1_ms + est2
+                if logger.isEnabledFor(logging.DEBUG):
+                    logger.debug("estimate after segment %d: t1=%.1fms "
+                                 "est2=%.1fms", i + 1, t1_ms, est2)
                 if (i >= qcfg.min_segments_before_termination
                         and estimate > last_estimate):
                     last_segment = (segments[i + 1].order if i + 1 < len(segments)

@@ -17,6 +17,7 @@ reference stores 1-based `loc`, IndexBuilder.java:259).
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Dict, Optional
 
@@ -25,6 +26,9 @@ import numpy as np
 from ..config import IndexConfig, DEFAULT_INDEX_CONFIG
 from ..utils import rounding
 from .structure import Index, IndexScale
+
+
+logger = logging.getLogger("kvmatch_tpu")
 
 
 def _rle_cap(buckets: np.ndarray, cap: int):
@@ -205,6 +209,8 @@ def build_index_from_buckets(buckets: Dict[int, np.ndarray], n: int,
     for w, b in buckets.items():
         ivl_bucket, left, right = _rle_cap(np.asarray(b), cap)
         index[w] = _group_and_merge(ivl_bucket, left, right, cfg, w, n)
+        logger.debug("scale w=%d: %d intervals -> %d rows", w,
+                     ivl_bucket.size, index[w].num_rows)
     return index
 
 
