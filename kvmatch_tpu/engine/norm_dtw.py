@@ -8,12 +8,12 @@ machinery (envelope segments, LB cascade, banded DP on z-normalized windows).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 
 from ..ops.dtw import dtw_banded_batch_f64
-from ..plan import QuerySegment, envelope, unit_sums
+from ..plan import envelope, unit_sums
 from .. import verify as vf
 from .base import _Ctx
 from .norm_ed import NormQueryEngine

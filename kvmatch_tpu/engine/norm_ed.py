@@ -20,7 +20,7 @@ which preserves soundness under our vectorized merging.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

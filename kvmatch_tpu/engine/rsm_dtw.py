@@ -9,7 +9,7 @@ confirmation of near-threshold survivors.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
