@@ -41,9 +41,24 @@ class NormQueryEngineDtw(NormQueryEngine):
         L = ctxs[0].length
         rho = ctxs[0].params["rho"]
         from ..utils import intervals as iv
-        cand_offs = [self._constraint_prefilter(
-            iv.expand_offsets({"left": l, "right": r}), c)
-            for (l, r), c in zip(cand_ivs, ctxs)]
+        threshs0 = [c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
+                    for c in ctxs]
+        cand_offs = []
+        for (l, r), c, th in zip(cand_ivs, ctxs, threshs0):
+            offs0 = self._constraint_prefilter(
+                iv.expand_offsets({"left": l, "right": r}), c)
+            # PAA z-envelope bound (no gather): block means of the z-query's
+            # Sakoe-Chiba envelope lower-bound banded z-DTW per block.
+            zq = (c.query - c.params["_mu_q"]) / c.params["_sd_q"]
+            e_lo, e_hi = envelope(zq, c.params["rho"])
+            blocks = 16
+            cw = L // blocks
+            if cw >= 4:
+                nblk = L // cw
+                env_blk = (e_lo[: nblk * cw].reshape(nblk, cw).mean(axis=1),
+                           e_hi[: nblk * cw].reshape(nblk, cw).mean(axis=1))
+                offs0 = self._paa_z_prefilter(offs0, c, float(th), env=env_blk)
+            cand_offs.append(offs0)
         counts = [o.size for o in cand_offs]
         total = int(sum(counts))
         if total == 0:
