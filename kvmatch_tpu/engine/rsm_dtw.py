@@ -47,7 +47,20 @@ class QueryEngineDtw(QueryEngine):
 
         L = ctxs[0].length
         rho = ctxs[0].params["rho"]
-        cand_offs = [iv.expand_offsets({"left": l, "right": r}) for l, r in cand_ivs]
+        threshs0 = [c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
+                    for c in ctxs]
+        cand_offs = []
+        for (l, r), c, th in zip(cand_ivs, ctxs, threshs0):
+            offs0 = iv.expand_offsets({"left": l, "right": r})
+            e_lo, e_hi = envelope(c.query, rho)
+            blocks = 16
+            cw = L // blocks
+            if cw >= 4:
+                nblk = L // cw
+                env_blk = (e_lo[: nblk * cw].reshape(nblk, cw).mean(axis=1),
+                           e_hi[: nblk * cw].reshape(nblk, cw).mean(axis=1))
+                offs0 = self._paa_prefilter(offs0, c, float(th), env=env_blk)
+            cand_offs.append(offs0)
         counts = [o.size for o in cand_offs]
         total = int(sum(counts))
         if total == 0:

@@ -98,6 +98,38 @@ class QueryEngine(BaseEngine):
     def _verify_intervals(self, left, right, ctx):
         return self._verify_multi([(left, right)], [ctx])[0]
 
+    def _paa_prefilter(self, offsets: np.ndarray, ctx: _Ctx, thresh: float,
+                       blocks: int = 16, env=None) -> np.ndarray:
+        """Raw-space PAA lower bound from prefix sums (no window gather): by
+        Jensen, ED^2 >= c * sum_k (blk_mean(T) - blk_mean(Q))^2 over whole
+        blocks of width c (PaaUcrEdQueryExecutor.java:104-120 moved inside the
+        engine).  With env=(lo_blk, hi_blk) (block means of the Sakoe-Chiba
+        envelope) the per-block distance becomes the envelope form, which
+        lower-bounds banded DTW (PaaUcrDtwQueryExecutor.java:413)."""
+        L = ctx.length
+        c = L // blocks
+        if offsets.size == 0 or c < 4:
+            return offsets
+        nblk = L // c
+        if not hasattr(self, "_c1_paa"):
+            self._c1_paa = np.concatenate(([0.0], np.cumsum(self.data)))
+        c1 = self._c1_paa
+        o = offsets[:, None] + np.arange(nblk)[None, :] * c
+        blk = (c1[o + c] - c1[o]) / c
+        if env is not None:
+            lo_blk, hi_blk = env
+            d = np.maximum(np.maximum(blk - hi_blk[None, :],
+                                      lo_blk[None, :] - blk), 0.0)
+            lb = c * np.sum(d * d, axis=1)
+        else:
+            qb = ctx.params.get("_q_blk")
+            if qb is None or qb.size != nblk:
+                qb = ctx.query[: nblk * c].reshape(nblk, c).mean(axis=1)
+                ctx.params["_q_blk"] = qb
+            d = blk - qb[None, :]
+            lb = c * np.sum(d * d, axis=1)
+        return offsets[lb <= thresh * (1.0 + 1e-9) + 1e-9]
+
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query verification.  Clustered candidate sets go through
         the region/conv path (MXU sliding correlation, ops/regions.py); scattered
@@ -143,9 +175,12 @@ class QueryEngine(BaseEngine):
             return [self._confirm_ed(np.sort(near_off[near_qid == qi]), ctx)
                     for qi, ctx in enumerate(ctxs)]
 
-        # Scattered: per-candidate gather kernel over the concatenated offsets.
+        # Scattered: PAA prefilter (no gather), then the gather kernel over the
+        # concatenated survivor offsets.
         from ..ops.ed import ed_distances_multi
-        cand_offs = [iv.expand_offsets({"left": l, "right": r}) for l, r in cand_ivs]
+        cand_offs = [self._paa_prefilter(
+            iv.expand_offsets({"left": l, "right": r}), c, float(th))
+            for (l, r), c, th in zip(cand_ivs, ctxs, threshs)]
         counts = [o.size for o in cand_offs]
         total = int(sum(counts))
         if total == 0:
