@@ -13,9 +13,11 @@ append-only in production, so this module maintains the KV-index under appends:
   so piece boundaries keep the same phase as a from-scratch RLE.
 * The variable-width row-merge policy (IndexBuilder.java:308-346) is GLOBAL —
   which rows coalesce depends on the full count distribution — so the merge is
-  re-run from the cached runs on each refresh.  With the C ``group_merge``
-  kernel this costs seconds at n=1e8, making micro-batch appends practical
-  while producing an index IDENTICAL to a from-scratch build (tested).
+  re-run from the cached runs on each ``build()`` refresh.  ``append`` is
+  O(chunk); ``build`` is O(total intervals) but skips re-bucketing the old
+  points (measured at n=1e7: append 1e6 + refresh 10.0 s vs 13.0 s full
+  rebuild, identical output).  Absorb a stream with many cheap ``append``
+  calls and refresh at query-visibility boundaries.
 
 Usage::
 
