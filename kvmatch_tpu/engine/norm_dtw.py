@@ -26,6 +26,10 @@ class NormQueryEngineDtw(NormQueryEngine):
         q = ctx.query
         mu_q = float(q.mean())
         sd_q = float(np.sqrt(max(np.mean(q * q) - mu_q * mu_q, 0.0)))
+        if sd_q == 0.0:
+            raise ValueError(
+                "query has zero standard deviation: z-normalized matching is "
+                "undefined for a constant pattern")
         ctx.params["_mu_q"], ctx.params["_sd_q"] = mu_q, sd_q
         rho = ctx.params["rho"]
         env_lo, env_hi = envelope(q, rho)

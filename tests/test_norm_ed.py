@@ -83,3 +83,18 @@ def test_plain_nsm_rejected_with_pointer():
     eng = NormQueryEngine(data, index=build_index_numpy(data, IndexConfig()))
     with pytest.raises(ValueError, match="scan_nsm_ed"):
         eng.query_at(7000, 512, 2.0)
+
+
+def test_constant_query_rejected():
+    """sigma_Q = 0 makes z-normalization undefined; must be a clean error,
+    not a ZeroDivisionError mid-probe."""
+    import pytest
+    from kvmatch_tpu.config import IndexConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    data = generate_series(30_000, seed=2)
+    eng = NormQueryEngine(data, index=build_index_numpy(data, IndexConfig()))
+    with pytest.raises(ValueError, match="standard deviation"):
+        eng.query(np.full(512, 3.0), 2.0, alpha=1.3, beta=5.0)
