@@ -120,13 +120,13 @@ def intersect_ed(cs: dict, raw: dict, eps2: float):
         return None
     na, nb = cs["left"].size, raw["left"].size
     cap = na + nb
-    ol = np.empty(cap, np.int64)
-    orr = np.empty(cap, np.int64)
-    oe = np.empty(cap, np.float64)
+    ol = _scratch("ied_l", cap, np.int64)
+    orr = _scratch("ied_r", cap, np.int64)
+    oe = _scratch("ied_e", cap, np.float64)
     k = lib.intersect_ed(na, _c64(cs["left"]), _c64(cs["right"]), _cf(cs["eps"]),
                          nb, _c64(raw["left"]), _c64(raw["right"]), _cf(raw["eps"]),
                          eps2, ol, orr, oe)
-    return {"left": ol[:k], "right": orr[:k], "eps": oe[:k]}
+    return {"left": ol[:k].copy(), "right": orr[:k].copy(), "eps": oe[:k].copy()}
 
 
 def intersect_norm(cs: dict, raw: dict, eps2: float, use_beta: bool,
@@ -137,7 +137,8 @@ def intersect_norm(cs: dict, raw: dict, eps2: float, use_beta: bool,
         return None
     na, nb = cs["left"].size, raw["left"].size
     cap = na + nb
-    out = {name: np.empty(cap, np.uint64 if name == "beta" else
+    out = {name: _scratch("inorm_" + name, cap,
+                          np.uint64 if name == "beta" else
                           (np.int64 if name in ("left", "right") else np.float64))
            for name in ("left", "right", "eps", "ex_lo", "ex2_lo",
                         "ex_up", "ex2_up", "beta")}
@@ -153,11 +154,26 @@ def intersect_norm(cs: dict, raw: dict, eps2: float, use_beta: bool,
         alpha, beta, mu_q, sd_q,
         out["left"], out["right"], out["eps"],
         out["ex_lo"], out["ex2_lo"], out["ex_up"], out["ex2_up"], out["beta"])
-    return {name: a[:k] for name, a in out.items()}
+    return {name: a[:k].copy() for name, a in out.items()}
 
 
 _EMPTY_F = np.empty(0, np.float64)
 _EMPTY_U = np.empty(0, np.uint64)
+
+# Reusable output scratch for the interval kernels: the C calls write at most
+# ``cap`` rows but typically keep far fewer, so allocating cap-sized arrays per
+# call (and trimming with views that pin them) dominated phase-1 profile time.
+# Engines are single-threaded per query (as in the reference), so a module
+# scratch pool is safe; results are copied out at their exact size.
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < n or buf.dtype != dtype:
+        buf = np.empty(max(n, 4096), dtype)
+        _SCRATCH[name] = buf
+    return buf
 
 
 def scan_fill(p_left, p_right, p_row, a: int, b: int, i0: int, i1: int,
@@ -172,15 +188,15 @@ def scan_fill(p_left, p_right, p_row, a: int, b: int, i0: int, i1: int,
     norm = "ex_lo" in row_payloads
     ncols = 6 if norm else 1
     cap = int(np_)
-    ol = np.empty(cap, np.int64)
-    orr = np.empty(cap, np.int64)
-    oe = np.empty(cap, np.float64)
+    ol = _scratch("sf_l", cap, np.int64)
+    orr = _scratch("sf_r", cap, np.int64)
+    oe = _scratch("sf_e", cap, np.float64)
     if norm:
-        o_exlo = np.empty(cap, np.float64)
-        o_ex2lo = np.empty(cap, np.float64)
-        o_exup = np.empty(cap, np.float64)
-        o_ex2up = np.empty(cap, np.float64)
-        o_beta = np.empty(cap, np.uint64)
+        o_exlo = _scratch("sf_exlo", cap, np.float64)
+        o_ex2lo = _scratch("sf_ex2lo", cap, np.float64)
+        o_exup = _scratch("sf_exup", cap, np.float64)
+        o_ex2up = _scratch("sf_ex2up", cap, np.float64)
+        o_beta = _scratch("sf_beta", cap, np.uint64)
     else:
         o_exlo = o_ex2lo = o_exup = o_ex2up = _EMPTY_F
         o_beta = _EMPTY_U
@@ -195,10 +211,11 @@ def scan_fill(p_left, p_right, p_row, a: int, b: int, i0: int, i1: int,
         np.ascontiguousarray(row_payloads.get("beta", _EMPTY_U), np.uint64)
         if norm else _EMPTY_U,
         ncols, ol, orr, oe, o_exlo, o_ex2lo, o_exup, o_ex2up, o_beta)
-    out = {"left": ol[:k], "right": orr[:k], "eps": oe[:k]}
+    out = {"left": ol[:k].copy(), "right": orr[:k].copy(), "eps": oe[:k].copy()}
     if norm:
-        out.update(ex_lo=o_exlo[:k], ex2_lo=o_ex2lo[:k],
-                   ex_up=o_exup[:k], ex2_up=o_ex2up[:k], beta=o_beta[:k])
+        out.update(ex_lo=o_exlo[:k].copy(), ex2_lo=o_ex2lo[:k].copy(),
+                   ex_up=o_exup[:k].copy(), ex2_up=o_ex2up[:k].copy(),
+                   beta=o_beta[:k].copy())
     return out
 
 
