@@ -152,15 +152,17 @@ class UcrScanner:
             return np.empty(0, np.int64), np.empty(0)
 
         from .ops.dtw import dtw_stage_multi, lb_stage_multi
+        from .ops.sliding import sliding_min_max
+        import jax
         env_lo, env_hi = envelope(query, rho)
         qm = jnp.asarray(query[None, :], jnp.float32)
         lo_m = jnp.asarray(env_lo[None, :], jnp.float32)
         hi_m = jnp.asarray(env_hi[None, :], jnp.float32)
         data_dev = self.data_dev
-        zero_q = np.zeros(0, np.int32)
+        d_lo, d_hi = jax.jit(sliding_min_max, static_argnums=1)(data_dev, rho)
 
         lb = vf.run_bucketed(
-            lambda o: lb_stage_multi(data_dev, qm, lo_m, hi_m, o,
+            lambda o: lb_stage_multi(data_dev, d_lo, d_hi, qm, lo_m, hi_m, o,
                                      jnp.zeros(o.shape, jnp.int32), L),
             cand.size, cand.astype(np.int32), lo=1024)
         surv = cand[lb <= thresh]

@@ -104,6 +104,21 @@ class BaseEngine:
     def scale(self, w: int) -> IndexScale:
         return self.index[w]
 
+    def data_envelope_dev(self, rho: int):
+        """Global Sakoe-Chiba envelope of the series, device-resident, cached
+        per band radius.  Consumed by the DTW LB cascade's data-side Keogh
+        stage (ops/dtw.lb_stage_multi); computed once per (engine, rho) at HBM
+        bandwidth via the log-depth sliding min/max."""
+        import jax
+        cache = getattr(self, "_env_dev_cache", None)
+        if cache is None:
+            cache = self._env_dev_cache = {}
+        if rho not in cache:
+            from ..ops.sliding import sliding_min_max
+            lo, hi = jax.jit(sliding_min_max, static_argnums=1)(self.data_dev, rho)
+            cache[rho] = (lo, hi)
+        return cache[rho]
+
     def _row_bounds(self, sc: IndexScale, rows: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """Per-row mean range [key_i - slack, next_key + slack]; the slack widens the

@@ -85,9 +85,10 @@ class NormQueryEngineDtw(NormQueryEngine):
               c.params["_sd_q"],
               1e-3 * (1.0 + abs(c.params["_mu_q"]) + c.params["_sd_q"])]
              for c in ctxs]), jnp.float32)
+        env_lo, env_hi = self.data_envelope_dev(rho)
         lb = vf.run_bucketed(
-            lambda o, q: lb_stage_znorm_multi(data_dev, zq_m, lo_m, hi_m, cons,
-                                              o, q, L),
+            lambda o, q: lb_stage_znorm_multi(data_dev, env_lo, env_hi, zq_m,
+                                              lo_m, hi_m, cons, o, q, L),
             total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch)
         surv = lb <= threshs[qids]
         s_off, s_qid = offsets[surv], qids[surv]

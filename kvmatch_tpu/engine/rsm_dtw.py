@@ -76,8 +76,10 @@ class QueryEngineDtw(QueryEngine):
                             for c in ctxs])
 
         from ..ops.dtw import dtw_stage_multi, lb_stage_multi
+        env_lo, env_hi = self.data_envelope_dev(rho)
         lb = vf.run_bucketed(
-            lambda o, q: lb_stage_multi(data_dev, qm, lo_m, hi_m, o, q, L),
+            lambda o, q: lb_stage_multi(data_dev, env_lo, env_hi, qm, lo_m,
+                                        hi_m, o, q, L),
             total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch)
         surv = lb <= threshs[qids]
         s_off, s_qid = offsets[surv], qids[surv]

@@ -210,11 +210,25 @@ def lb_keogh(a_batch: jnp.ndarray, q_lo: jnp.ndarray, q_hi: jnp.ndarray) -> jnp.
 # query); at module level the cache is keyed by shapes only.
 
 @functools.partial(jax.jit, static_argnames=("length",))
-def lb_stage_multi(data, qm, lo_m, hi_m, offs, qids, length: int):
+def lb_stage_multi(data, env_lo, env_hi, qm, lo_m, hi_m, offs, qids, length: int):
+    """max(LB_Kim, query-envelope LB_Keogh, data-envelope LB_Keogh) per candidate.
+
+    ``env_lo``/``env_hi`` are the GLOBAL Sakoe-Chiba envelope of the series
+    (ops/sliding.sliding_min_max).  A gathered window of the global envelope
+    encloses the window-local envelope (the extra out-of-window points near the
+    window edges can only widen it), so LB_Keogh of the query against it stays a
+    valid banded-DTW lower bound — the batch form of the reference's data-side
+    Keogh stage (DtwUtils.java:238-257, applied at QueryEngineDtw.java:422) with
+    the full-sum cumulative bound and a per-candidate max of the two Keogh
+    directions instead of per-candidate early abandoning.
+    """
     from .ed import _gather_windows
     x = _gather_windows(data, offs, length)
-    return jnp.maximum(lb_kim_multi(x, qm[qids]),
-                       lb_keogh_multi(x, lo_m[qids], hi_m[qids]))
+    e_lo = _gather_windows(env_lo, offs, length)
+    e_hi = _gather_windows(env_hi, offs, length)
+    q = qm[qids]
+    lb = jnp.maximum(lb_kim_multi(x, q), lb_keogh_multi(x, lo_m[qids], hi_m[qids]))
+    return jnp.maximum(lb, lb_keogh_multi(q, e_lo, e_hi))
 
 
 @functools.partial(jax.jit, static_argnames=("length", "r"))
@@ -235,9 +249,17 @@ def _znorm_rows(x, length: int):
 
 
 @functools.partial(jax.jit, static_argnames=("length",))
-def lb_stage_znorm_multi(data, zq_m, lo_m, hi_m, cons, offs, qids, length: int):
+def lb_stage_znorm_multi(data, env_lo, env_hi, zq_m, lo_m, hi_m, cons, offs,
+                         qids, length: int):
     """cons rows: (alpha, beta, mu_q, sd_q, cg); returns inf where constraints
-    fail (guarded), else max(LB_Kim, LB_Keogh) on z-normalized windows."""
+    fail (guarded), else max(LB_Kim, query-env LB_Keogh, data-env LB_Keogh) on
+    z-normalized windows.
+
+    The data envelope is gathered from the raw-series global envelope and
+    z-normalized with the WINDOW's own (mean, std): z-normalization is a
+    monotone affine map for std > 0, so the image of a (wider) raw envelope
+    still encloses the z-window's local envelope — the bound stays valid
+    (data-side Keogh of DtwUtils.java:238-257 in z-space)."""
     from .ed import _gather_windows
     x = _gather_windows(data, offs, length)
     z, mean, std = _znorm_rows(x, length)
@@ -249,8 +271,13 @@ def lb_stage_znorm_multi(data, zq_m, lo_m, hi_m, cons, offs, qids, length: int):
     ratio = std / sq
     ok = ((jnp.abs(mean - mq) <= b + cg) & (ratio <= a + cg)
           & (ratio >= 1.0 / a - cg) & (std > 0))
-    lb = jnp.maximum(lb_kim_multi(z, zq_m[qids]),
+    zq = zq_m[qids]
+    lb = jnp.maximum(lb_kim_multi(z, zq),
                      lb_keogh_multi(z, lo_m[qids], hi_m[qids]))
+    safe = jnp.where(std > 0, std, 1.0)[:, None]
+    z_elo = (_gather_windows(env_lo, offs, length) - mean[:, None]) / safe
+    z_ehi = (_gather_windows(env_hi, offs, length) - mean[:, None]) / safe
+    lb = jnp.maximum(lb, lb_keogh_multi(zq, z_elo, z_ehi))
     return jnp.where(ok, lb, np.float32(np.inf))
 
 

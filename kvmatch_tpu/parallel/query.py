@@ -377,6 +377,10 @@ def make_sharded_query_step(mesh: Mesh, icfg: IndexConfig, length: int,
     replicated.  Each shard probes its own positions, pulls a ``length``-point
     right halo over ICI for window gathers, and emits its local top-K candidates;
     outputs are sharded so the concatenation is the candidate all-gather.
+
+    Counts are returned PER SHARD (i32[n_sh]) — like the batched variants — so a
+    single shard overflowing its ``top_k`` is detectable by the caller
+    (``counts[i] > top_k`` means shard i truncated).  Sum for the global total.
     """
     scales = scales or tuple(icfg.scales)
     unit = icfg.unit
@@ -402,13 +406,12 @@ def make_sharded_query_step(mesh: Mesh, icfg: IndexConfig, length: int,
         d2 = jnp.sum(diff * diff, axis=1)
         live = jnp.arange(k) < count
         d2 = jnp.where(live, d2, jnp.inf)
-        total = jax.lax.psum(count, AXIS)
-        return total, (shard_id * per + idx)[None, :], d2[None, :]
+        return count[None], (shard_id * per + idx)[None, :], d2[None, :]
 
     fn = jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(AXIS), P(None, AXIS), P(), P(), P(), P()),
-        out_specs=(P(), P(AXIS), P(AXIS)))
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)))
     return jax.jit(fn)
 
 

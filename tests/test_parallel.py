@@ -87,8 +87,11 @@ def test_sharded_query_matches_oracle(mesh, data):
     padded = np.concatenate([data, np.zeros(pad)]) if pad else data
     data_sh = jax.device_put(padded.astype(np.float32), NamedSharding(mesh, P("shard")))
     step = make_sharded_query_step(mesh, icfg, L, top_k=512)
-    total, idx, d2 = step(data_sh, stack, jnp.asarray(q, jnp.float32), segs,
-                          jnp.float32(eps * eps), jnp.int32(data.size))
+    counts, idx, d2 = step(data_sh, stack, jnp.asarray(q, jnp.float32), segs,
+                           jnp.float32(eps * eps), jnp.int32(data.size))
+    counts = np.asarray(counts)       # (n_sh,) per-shard candidate counts
+    assert counts.shape == (mesh.devices.size,)
+    assert counts.max() <= 512, "workload overflows per-shard top-K"
     idx, d2 = np.asarray(idx).ravel(), np.asarray(d2).ravel()
     got = idx[d2 <= eps * eps * (1 + 1e-3)]
     oo, _ = oracle.rsm_ed(data, q, eps)
