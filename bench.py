@@ -150,6 +150,44 @@ def main() -> int:
     rsm_dtw_ms = statistics.median(dt)
     dtw_ok = bool(r.found and int(r.offsets[0]) == demo_off)
 
+    # --- MEASURED reference baseline (scalar C twin, single thread) ----------
+    # The container has no JVM, so the Java reference can't run here; the twin
+    # engines replay its exact phase-2 scalar loops (QueryEngine.java:343-363,
+    # NormQueryEngine.java:454-527, QueryEngineDtw.java:385-452) compiled from
+    # C — faster than the Java they stand in for, so ratios are conservative.
+    from kvmatch_tpu.baseline_twin import (ScalarTwinDtw, ScalarTwinEd,
+                                           ScalarTwinNormEd)
+    from kvmatch_tpu.config import QueryConfig as _QC
+    twin_cfg = _QC()  # reference cost-model coefficients drive its termination
+    twin = ScalarTwinEd(data, index=index, icfg=icfg, qcfg=twin_cfg,
+                        device_data=engine.data_dev)
+    tdemo = []
+    for _ in range(3):
+        tr = twin.query_at(demo_off, L, eps)
+        tdemo.append(tr.stats.t_total_ms)
+    twin_demo_ms = statistics.median(tdemo)
+    nq_t = min(16, nq)
+    t0 = time.perf_counter()
+    for qrow in queries[:nq_t]:
+        twin.query(qrow, eps)
+    twin_rsm_ms = (time.perf_counter() - t0) * 1e3 / nq_t
+
+    ntwin = ScalarTwinNormEd(data, index=index, icfg=icfg, qcfg=twin_cfg,
+                             device_data=engine.data_dev)
+    nq_nt = min(8, nq2)
+    t0 = time.perf_counter()
+    for qrow in q2[:nq_nt]:
+        ntwin.query(qrow, 4.0, alpha=1.2, beta=5.0)
+    twin_cnsm_ms = (time.perf_counter() - t0) * 1e3 / nq_nt
+
+    dtwin = ScalarTwinDtw(data, index=index, icfg=icfg, qcfg=twin_cfg,
+                          device_data=engine.data_dev)
+    tdd = []
+    for _ in range(3):
+        tr = dtwin.query_at(demo_off, dtw_L, 6.0, rho=rho)
+        tdd.append(tr.stats.t_total_ms)
+    twin_dtw_ms = statistics.median(tdd)
+
     out = {
         "metric": "RSM-ED demo query latency (n=1e6, L=8192, eps=10, self-query)",
         "value": round(demo_ms, 2),
@@ -167,6 +205,19 @@ def main() -> int:
             "ref_costmodel_cnsm_qps_est": round(ref_cnsm_qps, 3),
             "rsm_speedup_vs_ref_costmodel": round(rsm_qps / ref_rsm_qps, 1),
             "cnsm_speedup_vs_ref_costmodel": round(cnsm_qps / ref_cnsm_qps, 1),
+            # measured single-thread scalar-C twin of the reference (see
+            # kvmatch_tpu/baseline_twin.py); ratios vs these are MEASURED
+            "twin_demo_ms_measured": round(twin_demo_ms, 1),
+            "twin_rsm_ms_per_query_measured": round(twin_rsm_ms, 1),
+            "twin_cnsm_ms_per_query_measured": round(twin_cnsm_ms, 1),
+            "twin_rsm_dtw_ms_measured": round(twin_dtw_ms, 1),
+            "demo_speedup_vs_twin_measured": round(twin_demo_ms / demo_ms, 1),
+            "rsm_batch_speedup_vs_twin_measured": round(
+                twin_rsm_ms * rsm_qps / 1000.0, 1),
+            "cnsm_batch_speedup_vs_twin_measured": round(
+                twin_cnsm_ms * cnsm_qps / 1000.0, 1),
+            "rsm_dtw_speedup_vs_twin_measured": round(
+                twin_dtw_ms / rsm_dtw_ms, 1),
             "rsm_dtw_query_ms": round(rsm_dtw_ms, 1),
             "rsm_ed_device_batch_qps": round(dev_qps, 1),
             "cnsm_ed_device_batch_qps": round(ndev_qps, 1),

@@ -81,6 +81,12 @@ _ENGINES = {
     "rsm-dtw": ("engine.rsm_dtw", "QueryEngineDtw"),
     "cnsm-ed": ("engine.norm_ed", "NormQueryEngine"),
     "cnsm-dtw": ("engine.norm_dtw", "NormQueryEngineDtw"),
+    # measured single-thread scalar baselines (reference phase-2 loops in C;
+    # kvmatch_tpu/baseline_twin.py) — for apples-to-apples timing comparisons
+    "twin-rsm-ed": ("baseline_twin", "ScalarTwinEd"),
+    "twin-rsm-dtw": ("baseline_twin", "ScalarTwinDtw"),
+    "twin-cnsm-ed": ("baseline_twin", "ScalarTwinNormEd"),
+    "twin-cnsm-dtw": ("baseline_twin", "ScalarTwinNormDtw"),
 }
 
 

@@ -18,8 +18,11 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).with_name("interval_kernels.c")
+_SRC_BASE = Path(__file__).with_name("baseline_scalar.c")
 _LIB = None
 _TRIED = False
+_BASE_LIB = None
+_BASE_TRIED = False
 
 _I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _F64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
@@ -88,6 +91,68 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_int,
         _I64, _I64, _F64, _F64, _F64, _F64, _F64, _U64]
     return lib
+
+
+def _compile_shared(src_path: Path) -> ctypes.CDLL | None:
+    src = src_path.read_text()
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    cache = Path(os.environ.get("KVMATCH_NATIVE_CACHE",
+                                Path.home() / ".cache" / "kvmatch_native"))
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / f"{src_path.stem}_{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".so.tmp")
+        cmd = [os.environ.get("CC", "cc"), "-O3", "-march=native", "-shared",
+               "-fPIC", str(src_path), "-o", str(tmp), "-lm"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            try:
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        os.replace(tmp, so)
+    return ctypes.CDLL(str(so))
+
+
+def get_baseline_lib() -> ctypes.CDLL | None:
+    """The scalar reference-twin library (native/baseline_scalar.c) — the
+    MEASURED single-thread baseline standing in for the Java reference (no JVM
+    in this container; see BASELINE.md / VERDICT round-1 item 3)."""
+    global _BASE_LIB, _BASE_TRIED
+    if os.environ.get("KVMATCH_NO_NATIVE"):
+        return None
+    if not _BASE_TRIED:
+        _BASE_TRIED = True
+        try:
+            lib = _compile_shared(_SRC_BASE)
+        except Exception:
+            lib = None
+        if lib is not None:
+            lib.base_ed_scan.restype = ctypes.c_long
+            lib.base_ed_scan.argtypes = [
+                _F64, ctypes.c_long, _I64, _I64, ctypes.c_long,
+                _F64, ctypes.c_long, ctypes.c_double, _I64, _F64]
+            lib.base_nsm_scan.restype = ctypes.c_long
+            lib.base_nsm_scan.argtypes = [
+                _F64, ctypes.c_long, _I64, _I64, ctypes.c_long,
+                _F64, _I64, ctypes.c_long, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, _I64, _F64]
+            lib.base_dtw_scan.restype = ctypes.c_long
+            lib.base_dtw_scan.argtypes = [
+                _F64, ctypes.c_long, _I64, _I64, ctypes.c_long,
+                _F64, _F64, _F64, _I64, ctypes.c_long, ctypes.c_long,
+                ctypes.c_double, _I64, _F64]
+            lib.base_nsm_dtw_scan.restype = ctypes.c_long
+            lib.base_nsm_dtw_scan.argtypes = [
+                _F64, ctypes.c_long, _I64, _I64, ctypes.c_long,
+                _F64, _F64, _F64, _I64, ctypes.c_long, ctypes.c_long,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, _I64, _F64]
+        _BASE_LIB = lib
+    return _BASE_LIB
 
 
 def get_lib() -> ctypes.CDLL | None:
