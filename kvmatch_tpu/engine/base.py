@@ -427,15 +427,17 @@ class BaseEngine:
 
     # ------------------------------------------------ device-probe batched driver
     def _bucket_stack_dev(self, max_len: int):
-        """Lazily (re)build + upload the dense bucket stack for device probes."""
+        """Lazily (re)build + upload the dense bucket stack for device probes.
+        Columns are padded for the blocked probe's worst-case last block
+        (parallel/query.probe_stack_extra)."""
         import jax.numpy as jnp
         from ..index.build import compute_buckets_tpu
-        from ..parallel.query import pack_bucket_stack
+        from ..parallel.query import pack_bucket_stack, probe_stack_extra
         cur = getattr(self, "_bstack", None)
         if cur is None or cur[0] < max_len:
             buckets = compute_buckets_tpu(self.data, self.icfg)
             stack = pack_bucket_stack(buckets, tuple(self.icfg.scales),
-                                      self.n, max_len)
+                                      self.n, probe_stack_extra(self.n, max_len))
             self._bstack = (max_len, jnp.asarray(stack))
         return self._bstack[1]
 

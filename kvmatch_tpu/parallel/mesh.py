@@ -40,7 +40,8 @@ def pad_to_shards(x: np.ndarray, n_shards: int, pad_value=0.0) -> np.ndarray:
     return x
 
 
-def order_devices_for_ring(devices: Optional[Sequence] = None) -> list:
+def order_devices_for_ring(devices: Optional[Sequence] = None,
+                           slice_of=None) -> list:
     """Order devices so the offset-range ring keeps DCN crossings minimal.
 
     Every sharded kernel here (build halo, query halo) exchanges data only with
@@ -53,13 +54,22 @@ def order_devices_for_ring(devices: Optional[Sequence] = None) -> list:
     step — a few KB over DCN regardless of n.
 
     Groups by ``device.slice_index`` when the platform exposes it (TPU pods);
-    single-slice and CPU meshes come back unchanged.
+    single-slice and CPU meshes come back unchanged.  ``slice_of`` overrides
+    the slice assignment — a mapping/callable from device id to slice index —
+    for explicit topologies and for exercising the multi-slice ordering on a
+    virtual mesh (tests/test_parallel.py).
     """
     devices = list(devices if devices is not None else jax.devices())
-    key = lambda d: (getattr(d, "slice_index", 0) or 0, d.id)
+    if slice_of is None:
+        key = lambda d: (getattr(d, "slice_index", 0) or 0, d.id)
+    elif callable(slice_of):
+        key = lambda d: (slice_of(d.id), d.id)
+    else:
+        key = lambda d: (slice_of[d.id], d.id)
     return sorted(devices, key=key)
 
 
-def make_mesh_multislice(devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh_multislice(devices: Optional[Sequence] = None,
+                         slice_of=None) -> Mesh:
     """1-D offset mesh with slice-major device order (see order_devices_for_ring)."""
-    return make_mesh(order_devices_for_ring(devices))
+    return make_mesh(order_devices_for_ring(devices, slice_of=slice_of))

@@ -233,12 +233,41 @@ def _dense_probe_norm(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
     return jnp.where(std_bad, jnp.inf, acc)
 
 
+# Largest per-query position block the dense probe materializes at once; the
+# per-block working set is (Q, block) f32, kept under ~512 MB by shrinking the
+# block as the query batch grows (PROBE_MEM_BUDGET / Q).  This is what lets
+# query_batch_device run 128-query batches at n=1e8+ inside HBM (the old
+# unblocked probe materialized (Q, n) — 400 MB PER QUERY at n=1e8).
+PROBE_BLOCK_MAX = 1 << 22
+PROBE_BLOCK_MIN = 1 << 18
+PROBE_MEM_BUDGET = 1 << 27  # f32 elements across the (Q, block) accumulator
+
+
+def probe_block_for(n: int, n_queries: int = 1) -> int:
+    """Position-block size the blocked probe will pick (trace-time ints)."""
+    blk = min(PROBE_BLOCK_MAX, max(PROBE_BLOCK_MIN,
+                                   PROBE_MEM_BUDGET // max(n_queries, 1)))
+    return min(n, blk)
+
+
+def probe_stack_extra(n: int, length: int) -> int:
+    """Bucket-stack column padding that keeps every block slice in bounds for
+    any batch size: worst-case block remainder plus the segment-shift halo."""
+    return probe_block_for(n) + max(length, 8192)
+
+
 def make_dense_probe_step_batched(icfg: IndexConfig, length: int,
                                   top_k: int = 4096, norm: bool = False,
                                   scales: Tuple[int, ...] | None = None):
     """Phase-1-only dense step: (counts i32[Q], offsets i32[Q, K]) with offsets
     ranked by smallest accumulated bound.  norm=True uses the z-space probe with
-    the std filter (cons rows (alpha, beta, mu_q, sd_q))."""
+    the std filter (cons rows (alpha, beta, mu_q, sd_q)).
+
+    Positions stream through fixed-size blocks (lax.fori_loop) with a running
+    top-K merge, so device memory is O(Q * block + Q * K) instead of O(Q * n):
+    the scale story of mapreduce/experiments/LongRandomQueryTest.java:33-50 on
+    one chip.  Results are identical to the unblocked form (the merge keeps
+    the K smallest accumulated bounds globally)."""
     scales = scales or tuple(icfg.scales)
     unit = icfg.unit
     slack = np.float32(icfg.probe_guard)
@@ -246,21 +275,45 @@ def make_dense_probe_step_batched(icfg: IndexConfig, length: int,
     def step(data, bstack, segs: DenseSegments, eps2, cons):
         n = data.shape[0]
         m = n - length + 1
-        k = min(top_k, n)  # oversized K degrades gracefully
-        if norm:
-            eps_acc = jax.vmap(
-                lambda sg, c: _dense_probe_norm(bstack, sg, unit, icfg.d, n,
-                                                slack, c[0], c[1], c[2], c[3],
-                                                length))(segs, cons)
-        else:
-            eps_acc = jax.vmap(
-                lambda sg: _dense_probe(bstack, sg, unit, icfg.d, n, slack))(segs)
-        pos = jnp.arange(n, dtype=jnp.int32)
-        mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
-        counts = jnp.sum(mask.astype(jnp.int32), axis=1)
-        scores = jnp.where(mask, -eps_acc, -jnp.inf)
-        _, idx = jax.lax.top_k(scores, k)
-        return counts, jnp.minimum(idx.astype(jnp.int32), m - 1)
+        Q = eps2.shape[0]
+        blk = probe_block_for(n, Q)
+        nb = -(-n // blk)
+        k = min(top_k, blk)
+        S = bstack.shape[0]
+        if bstack.shape[1] < nb * blk + length:
+            raise ValueError(
+                f"bucket stack underpadded for blocked probe: have "
+                f"{bstack.shape[1]} columns, need {nb * blk + length} "
+                f"(pad with probe_stack_extra)")
+
+        def probe_one(bwin, sg, c):
+            if norm:
+                return _dense_probe_norm(bwin, sg, unit, icfg.d, blk, slack,
+                                         c[0], c[1], c[2], c[3], length)
+            return _dense_probe(bwin, sg, unit, icfg.d, blk, slack)
+
+        def body(b, carry):
+            counts, best_s, best_i = carry
+            p0 = b * blk
+            bwin = jax.lax.dynamic_slice(bstack, (0, p0), (S, blk + length))
+            eps_acc = jax.vmap(lambda sg, c: probe_one(bwin, sg, c))(segs, cons)
+            pos = p0 + jnp.arange(blk, dtype=jnp.int32)
+            mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
+            counts = counts + jnp.sum(mask.astype(jnp.int32), axis=1)
+            scores = jnp.where(mask, eps_acc, jnp.inf)
+            loc_s, loc_j = jax.lax.top_k(-scores, k)        # k smallest bounds
+            loc_i = p0 + loc_j.astype(jnp.int32)
+            sel_s, sel_j = jax.lax.top_k(
+                jnp.concatenate([-best_s, loc_s], axis=1), k)
+            best_i = jnp.take_along_axis(
+                jnp.concatenate([best_i, loc_i], axis=1), sel_j, axis=1)
+            return counts, -sel_s, best_i
+
+        carry0 = (jnp.zeros(Q, jnp.int32),
+                  jnp.full((Q, k), jnp.inf, jnp.float32),
+                  jnp.zeros((Q, k), jnp.int32))
+        counts, _, best_i = jax.lax.fori_loop(0, nb, body, carry0)
+        return counts, jnp.minimum(best_i, m - 1)
 
     return jax.jit(step)
 
