@@ -103,41 +103,43 @@ def _group_and_merge(ivl_bucket, left, right, cfg: IndexConfig, w: int, n: int) 
     (IndexBuilder.java:308-346): scan keys descending, merge a row into the running
     group when its interval count < 1.2*avg and the merged list shrinks below
     0.8*(sum of parts); a merged row keeps the group's smallest key."""
-    order = np.argsort(ivl_bucket, kind="stable")  # stable keeps left ascending per row
-    b_sorted = ivl_bucket[order]
-    l_sorted = left[order]
-    r_sorted = right[order]
-    ubuckets, row_start = np.unique(b_sorted, return_index=True)
-    row_end = np.empty_like(row_start)
-    row_end[:-1] = row_start[1:]
-    row_end[-1] = b_sorted.size
+    from .. import native
+
+    # Grouping: counting-sort C kernel (no argsort/unique — the bucket range is
+    # a few thousand distinct mean grids; this host has ONE core, so the serial
+    # constant factor IS the build time) with the argsort path as fallback and
+    # semantics reference.
+    grp = native.group_rows(ivl_bucket, left, right) if ivl_bucket.size else None
+    if grp is not None:
+        ubuckets, row_ptr0, l_sorted, r_sorted = grp
+        row_start = row_ptr0[:-1]
+        row_end = row_ptr0[1:]
+    else:
+        order = np.argsort(ivl_bucket, kind="stable")  # stable keeps left ascending per row
+        b_sorted = ivl_bucket[order]
+        l_sorted = left[order]
+        r_sorted = right[order]
+        ubuckets, row_start = np.unique(b_sorted, return_index=True)
+        ubuckets = ubuckets.astype(np.int64)
+        row_end = np.empty_like(row_start)
+        row_end[:-1] = row_start[1:]
+        row_end[-1] = b_sorted.size
     counts = row_end - row_start
     avg = counts.mean() if counts.size else 0.0
-
     cap = cfg.maximum_diff
     merge_thresh = cfg.merge_count_factor * avg
 
-    from .. import native
-    nat = native.group_merge(row_start, row_end, ubuckets.astype(np.int64),
-                             l_sorted, r_sorted, merge_thresh,
-                             cfg.merge_shrink_factor, cap) \
+    nat = native.group_merge(row_start, row_end, ubuckets, l_sorted, r_sorted,
+                             merge_thresh, cfg.merge_shrink_factor, cap) \
         if ubuckets.size else None
     if nat is not None:
-        keys_d, counts_d, flat_l_d, flat_r_d = nat
-        # C emits rows in descending key order; reverse rows, keep intra-row order.
-        ends = np.cumsum(counts_d)
-        starts = ends - counts_d
-        order_rows = np.arange(keys_d.size)[::-1]
-        flat_l = np.concatenate([flat_l_d[starts[i]:ends[i]] for i in order_rows]) \
-            if keys_d.size else np.empty(0, np.int64)
-        flat_r = np.concatenate([flat_r_d[starts[i]:ends[i]] for i in order_rows]) \
-            if keys_d.size else np.empty(0, np.int64)
-        keys = rounding.bucket_to_key(keys_d[::-1].astype(np.int64), cfg.pos_of_d)
-        row_ptr = np.zeros(keys_d.size + 1, np.int64)
-        np.cumsum(counts_d[::-1], out=row_ptr[1:])
+        keys_a, counts_a, flat_l, flat_r = nat
+        keys = rounding.bucket_to_key(keys_a, cfg.pos_of_d)
+        row_ptr = np.zeros(keys_a.size + 1, np.int64)
+        np.cumsum(counts_a, out=row_ptr[1:])
         n_iv = np.diff(row_ptr)
         n_off = np.add.reduceat(flat_r - flat_l + 1, row_ptr[:-1]) if flat_l.size \
-            else np.zeros(keys_d.size, np.int64)
+            else np.zeros(keys_a.size, np.int64)
         n_off = np.where(n_iv == 0, 0, n_off)
         upper = float(rounding.bucket_to_key(int(ubuckets[-1]) + 1, cfg.pos_of_d)) \
             if ubuckets.size else float("inf")

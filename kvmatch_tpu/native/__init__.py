@@ -83,6 +83,11 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_long, _I64, _I64, _I64, _I64, _I64,
         ctypes.c_double, ctypes.c_double, ctypes.c_long,
         _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64]
+    lib.group_rows.restype = ctypes.c_long
+    lib.group_rows.argtypes = [
+        ctypes.c_long, _I32, _I64, _I64,
+        ctypes.c_int64, ctypes.c_int64, _I64,
+        _I64, _I64, _I64, _I64]
     lib.scan_fill.restype = ctypes.c_long
     lib.scan_fill.argtypes = [
         ctypes.c_long, _I64, _I64, _I64,
@@ -320,37 +325,76 @@ def rle_cap(buckets: np.ndarray, cap: int):
     b = np.ascontiguousarray(buckets, np.int32)
     m = b.size
     k = lib.rle_cap(b, m, int(cap), None, None, None)
-    ob = np.empty(k, np.int32)
-    ol = np.empty(k, np.int64)
-    orr = np.empty(k, np.int64)
+    # Scratch VIEWS (valid until the next rle_cap call): the build consumes
+    # them immediately in group_rows/group_merge.
+    ob = _scratch("rle_b", k, np.int32)
+    ol = _scratch("rle_l", k, np.int64)
+    orr = _scratch("rle_r", k, np.int64)
     lib.rle_cap(b, m, int(cap),
                 ob.ctypes.data_as(ctypes.c_void_p),
                 ol.ctypes.data_as(ctypes.c_void_p),
                 orr.ctypes.data_as(ctypes.c_void_p))
-    return ob, ol, orr
+    return ob[:k], ol[:k], orr[:k]
 
 
 def group_merge(row_start, row_end, ubucket, left, right,
                 merge_thresh: float, shrink_factor: float, cap: int):
-    """Descending-key row merge (IndexBuilder.java:308-346 policy) in C;
-    returns (keys_desc, counts_desc, flat_left, flat_right) with rows in
-    DESCENDING key order, or None when native is unavailable."""
+    """Variable-width row merge (IndexBuilder.java:308-346 policy) in C;
+    returns (keys, counts, flat_left, flat_right) with rows in ASCENDING key
+    order (intra-row interval order preserved), or None when native is
+    unavailable."""
     lib = get_lib()
     if lib is None:
         return None
     total = int(left.size)
     R = int(ubucket.size)
-    out_key = np.empty(R, np.int64)
-    out_count = np.empty(R, np.int64)
-    ol = np.empty(total, np.int64)
-    orr = np.empty(total, np.int64)
-    wl = np.empty(total, np.int64)
-    wr = np.empty(total, np.int64)
-    w2l = np.empty(total, np.int64)
-    w2r = np.empty(total, np.int64)
+    # Buffers come from the persistent scratch pool: fresh glibc allocations of
+    # this size page-fault at first touch, which dominated the (1-core) build.
+    out_key = _scratch("gm_key", R, np.int64)
+    out_count = _scratch("gm_cnt", R, np.int64)
+    ol = _scratch("gm_l", total, np.int64)
+    orr = _scratch("gm_r", total, np.int64)
+    wl = _scratch("gm_wl", total, np.int64)
+    wr = _scratch("gm_wr", total, np.int64)
+    w2l = _scratch("gm_w2l", total, np.int64)
+    w2r = _scratch("gm_w2r", total, np.int64)
     nrows = lib.group_merge(R, _c64(row_start), _c64(row_end), _c64(ubucket),
                             _c64(left), _c64(right),
                             float(merge_thresh), float(shrink_factor), int(cap),
                             out_key, out_count, ol, orr, wl, wr, w2l, w2r)
-    used = int(out_count[:nrows].sum())
-    return out_key[:nrows], out_count[:nrows], ol[:used], orr[:used]
+    keys = out_key[R - nrows:R].copy()
+    counts = out_count[R - nrows:R].copy()
+    used = int(counts.sum())
+    return keys, counts, ol[total - used:total].copy(), orr[total - used:total].copy()
+
+
+# Counting-sort scratch cap: bucket ranges past this fall back to argsort
+# (8 * 2^26 = 512 MB of cursor scratch would be the histogram cost).
+_GROUP_ROWS_MAX_RANGE = 1 << 26
+
+
+def group_rows(ivl_bucket, left, right):
+    """Counting-sort grouping of intervals by bucket id; returns
+    (ubuckets i64[R], row_start i64[R+1], l_sorted, r_sorted) or None when
+    native is unavailable or the bucket range is degenerate."""
+    lib = get_lib()
+    if lib is None or ivl_bucket.size == 0:
+        return None
+    bmin = int(ivl_bucket.min())
+    rng = int(ivl_bucket.max()) - bmin + 1
+    if rng > _GROUP_ROWS_MAX_RANGE:
+        return None
+    n = int(ivl_bucket.size)
+    b = np.ascontiguousarray(ivl_bucket, np.int32)
+    cnt = _scratch("gr_cnt", rng, np.int64)
+    cnt[:rng] = 0  # the C kernel requires zeroed counters
+    ubucket = _scratch("gr_ub", min(rng, n), np.int64)
+    row_start = _scratch("gr_rs", min(rng, n) + 1, np.int64)
+    # ol/orr are scratch VIEWS: valid until the next group_rows call (the build
+    # consumes them immediately in group_merge; copying n*16B here would cost
+    # more than the kernel).
+    ol = _scratch("gr_l", n, np.int64)
+    orr = _scratch("gr_r", n, np.int64)
+    R = lib.group_rows(n, b, _c64(left), _c64(right),
+                       bmin, rng, cnt, ubucket, row_start, ol, orr)
+    return ubucket[:R].copy(), row_start[:R + 1].copy(), ol[:n], orr[:n]

@@ -311,9 +311,11 @@ static long union_resplit(long na, const int64_t *al, const int64_t *ar,
  * keeps the group's smallest key.
  *
  * Inputs: R rows ascending by bucket; row i owns l/r[row_start[i]..row_end[i]).
- * Outputs (DESCENDING key order; caller reverses): out_key/out_count per final
- * row, flat ol/orr interval stream.  Work buffers wl/wr/w2l/w2r must hold the
- * total interval count each; ol/orr likewise.  Returns the final row count. */
+ * Outputs in ASCENDING key order, written from the END of the buffers (the
+ * scan emits rows highest-key-first): final rows occupy out_key/out_count
+ * [R-nrows, R) and the flat interval stream occupies ol/orr [T-used, T) where
+ * T = total input interval count and used = sum(out_count).  Work buffers
+ * wl/wr/w2l/w2r must hold T entries each.  Returns the final row count. */
 long group_merge(long R, const int64_t *row_start, const int64_t *row_end,
                  const int64_t *ubucket, const int64_t *l, const int64_t *r,
                  double merge_thresh, double shrink_factor, long cap,
@@ -321,7 +323,8 @@ long group_merge(long R, const int64_t *row_start, const int64_t *row_end,
                  int64_t *ol, int64_t *orr,
                  int64_t *wl, int64_t *wr, int64_t *w2l, int64_t *w2r)
 {
-    long nrows = 0, outp = 0;
+    long kpos = R;                       /* next key slot, moving down   */
+    long outp = R > 0 ? row_end[R - 1] : 0;  /* next interval end, moving down */
     long cur_n = 0;
     int64_t cur_key = 0;
     for (long idx = R - 1; idx >= 0; idx--) {
@@ -345,16 +348,52 @@ long group_merge(long R, const int64_t *row_start, const int64_t *row_end,
             }
         }
         if (!merged) {
-            out_key[nrows] = cur_key; out_count[nrows] = cur_n; nrows++;
+            kpos--; out_key[kpos] = cur_key; out_count[kpos] = cur_n;
+            outp -= cur_n;
             for (long t = 0; t < cur_n; t++) { ol[outp + t] = wl[t]; orr[outp + t] = wr[t]; }
-            outp += cur_n;
             for (long t = 0; t < n_i; t++) { wl[t] = li[t]; wr[t] = ri[t]; }
             cur_n = n_i; cur_key = ubucket[idx];
         }
     }
     if (cur_n > 0) {
-        out_key[nrows] = cur_key; out_count[nrows] = cur_n; nrows++;
+        kpos--; out_key[kpos] = cur_key; out_count[kpos] = cur_n;
+        outp -= cur_n;
         for (long t = 0; t < cur_n; t++) { ol[outp + t] = wl[t]; orr[outp + t] = wr[t]; }
     }
-    return nrows;
+    return R - kpos;
+}
+
+/* Counting-sort grouping of RLE intervals by bucket id (replaces the host
+ * argsort+unique+gather around group_merge — the build's serial hot spot on
+ * this 1-core host).  Bucket ids span a tiny range (a few thousand distinct
+ * mean grids), so a histogram scatter is O(n) with two streaming passes.
+ *
+ * b[i] in [bmin, bmin+range); cnt is a caller-zeroed scratch of `range`
+ * entries (reused as write cursors).  Outputs: ubucket/row_start describe R
+ * rows ascending by bucket (row j owns ol/orr[row_start[j], row_start[j+1])),
+ * intervals stay position-ordered within a row (the scan is stable).
+ * Returns R. */
+long group_rows(long n, const int32_t *b, const int64_t *l, const int64_t *r,
+                int64_t bmin, int64_t range, int64_t *cnt,
+                int64_t *ubucket, int64_t *row_start,
+                int64_t *ol, int64_t *orr)
+{
+    for (long i = 0; i < n; i++) cnt[b[i] - bmin]++;
+    long R = 0, acc = 0;
+    for (int64_t k = 0; k < range; k++) {
+        if (cnt[k]) {
+            ubucket[R] = bmin + k;
+            row_start[R] = acc;
+            long c = cnt[k];
+            cnt[k] = acc;            /* becomes the write cursor */
+            acc += c;
+            R++;
+        }
+    }
+    row_start[R] = acc;
+    for (long i = 0; i < n; i++) {
+        long p = cnt[b[i] - bmin]++;
+        ol[p] = l[i]; orr[p] = r[i];
+    }
+    return R;
 }
