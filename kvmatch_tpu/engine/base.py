@@ -163,17 +163,17 @@ class BaseEngine:
         if row_total * 16 > p_row.size:
             keep = (p_row >= i0) & (p_row < i1)
             return p_row[keep] - i0, p_left[keep], p_right[keep]
+        # Probed rows are contiguous (probe_rows returns a key range), so their
+        # CSR interval block is one contiguous slice — no index arithmetic.
         counts = sc.row_ptr[rows + 1] - sc.row_ptr[rows]
-        total = int(counts.sum())
         rep_rows = np.repeat(np.arange(rows.size), counts)
-        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        flat = (np.arange(total) - np.repeat(offs, counts)) + np.repeat(sc.row_ptr[rows], counts)
-        left = sc.left[flat]
+        sl = slice(int(sc.row_ptr[i0]), int(sc.row_ptr[i1]))
+        left = sc.left[sl]
         # Invariant: every scan returns intervals sorted by left (and disjoint,
         # since a scale's intervals partition the positions).  The pos-sorted
         # paths above are sorted for free; this small-selection fallback sorts.
         order = np.argsort(left, kind="stable")
-        return rep_rows[order], left[order], sc.right[flat][order]
+        return rep_rows[order], left[order], sc.right[sl][order]
 
     def _scan_fill(self, sc: IndexScale, rows: np.ndarray, ctx: "_Ctx",
                    row_payloads: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -229,6 +229,12 @@ class BaseEngine:
         return determine_query_plan(ctx.length, lo, hi, fn,
                                     self.icfg, self.qcfg)
 
+    def _cost_batch_multi(self, ctxs):
+        """Optional whole-batch cost function for the stacked DP: engines that
+        can evaluate all queries' probe-range costs in one (Q, S) vectorized
+        call per scale return it here; None keeps the per-query loop."""
+        return None
+
     def _plan_batch(self, ctxs) -> list:
         """Plan a same-length query batch with the stacked DP (identical
         output to per-query _plan; the 30x5 transition ops amortize)."""
@@ -238,7 +244,8 @@ class BaseEngine:
         hi = np.stack([pt[1] for pt in parts])
         return determine_query_plans_batched(
             ctxs[0].length, lo, hi, [pt[2] for pt in parts],
-            self.icfg, self.qcfg)
+            self.icfg, self.qcfg,
+            cost_batch_multi=self._cost_batch_multi(ctxs))
 
     def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:
         raise NotImplementedError

@@ -53,7 +53,7 @@ class NormQueryEngine(BaseEngine):
         # remaining per-segment allowance exactly like the RSM engines' range
         # shrink (QueryEngine.java:200); the reference's norm engines use the
         # full epsilon every time.  Sound by the same Jensen argument.
-        eps_eff = math.sqrt(max(ctx.eps2 - ctx.last_min_eps, 0.0))
+        eps_eff = np.sqrt(np.maximum(ctx.eps2 - ctx.last_min_eps, 0.0))
         r = eps_eff * sd_q / math.sqrt(w)
         lo = np.minimum(
             (1.0 / alpha) * mean_lo + (1 - 1.0 / alpha) * mu_q - beta - r / alpha,
@@ -104,6 +104,38 @@ class NormQueryEngine(BaseEngine):
             return log_cost, cnt_i
 
         return cost_batch
+
+    def _cost_batch_multi(self, ctxs):
+        """Whole-batch DP cost: _probe_bounds broadcasts over (Q, 1) parameter
+        columns, so one vectorized call per scale replaces the per-query loop.
+        Requires _plan_inputs to have stashed _mu_q/_sd_q first (it has — the
+        batch planner computes plan inputs before cost functions)."""
+        import types
+        norm = self._cost_normalizer()
+        pos_of_d = self.icfg.pos_of_d
+
+        def col(vals):
+            return np.asarray(vals, np.float64)[:, None]
+
+        bctx = types.SimpleNamespace(
+            params={"alpha": col([c.params["alpha"] for c in ctxs]),
+                    "beta": col([c.params["beta"] for c in ctxs]),
+                    "_mu_q": col([c.params["_mu_q"] for c in ctxs]),
+                    "_sd_q": col([c.params["_sd_q"] for c in ctxs])},
+            eps2=col([c.eps2 for c in ctxs]),
+            last_min_eps=col([c.last_min_eps for c in ctxs]))
+
+        def cost_batch_multi(w, mean_lo, mean_hi):
+            sc = self.index[w]
+            b, e = self._probe_bounds(mean_lo, mean_hi, w, bctx)
+            b = rounding.to_round(b, pos_of_d)
+            e = rounding.to_round(e, pos_of_d)
+            cnt_i, _ = sc.counts_between_batch(b, e)
+            with np.errstate(divide="ignore"):
+                log_cost = np.log(cnt_i / norm)
+            return log_cost, cnt_i
+
+        return cost_batch_multi
 
     def _plan_inputs(self, ctx: _Ctx):
         if "alpha" not in ctx.params or "beta" not in ctx.params:

@@ -41,6 +41,25 @@ class QueryEngine(BaseEngine):
 
         return cost_batch
 
+    def _cost_batch_multi(self, ctxs):
+        """Whole-batch DP cost: one (Q, S) searchsorted pass per scale instead
+        of a per-query Python loop (same arithmetic as _cost_batch)."""
+        norm = self._cost_normalizer()
+        pos_of_d = self.icfg.pos_of_d
+        eps = np.asarray([c.epsilon for c in ctxs], np.float64)[:, None]
+
+        def cost_batch_multi(w, mean_lo, mean_hi):
+            sc = self.index[w]
+            rng = eps / math.sqrt(w)
+            b = rounding.to_round(mean_lo - rng, pos_of_d)
+            e = rounding.to_round(mean_hi + rng, pos_of_d)
+            cnt_i, _ = sc.counts_between_batch(b, e)
+            with np.errstate(divide="ignore"):
+                log_cost = np.log(cnt_i / norm)
+            return log_cost, cnt_i
+
+        return cost_batch_multi
+
     def _plan_inputs(self, ctx: _Ctx):
         sums = unit_sums(ctx.query, self.icfg.unit)
         return sums, sums, self._cost_batch(ctx)

@@ -94,9 +94,8 @@ class IndexScale:
         """Vectorized counts_between over arrays of probe bounds — feeds the
         planner's whole cost table in a few searchsorted calls."""
         keys = self.keys
-        m = begin_round.size
         if keys.size == 0:
-            z = np.zeros(m, np.int64)
+            z = np.zeros(np.shape(begin_round), np.int64)
             return z, z
         i0 = np.minimum(np.searchsorted(keys, begin_round, side="left"), keys.size - 1)
         lo_i = np.where(i0 > 0, self.cum_intervals[np.maximum(i0 - 1, 0)], 0)

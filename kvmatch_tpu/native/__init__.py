@@ -51,19 +51,23 @@ def _build() -> ctypes.CDLL | None:
                 return None
         os.replace(tmp, so)
     lib = ctypes.CDLL(str(so))
+    # The three phase-1 hot wrappers (intersect_ed/intersect_norm/scan_fill)
+    # take raw pointers: ndpointer.from_param validation cost ~8% of phase 1 at
+    # 26 array args/call; the wrappers guarantee dtype/contiguity via _c64/_cf.
+    P = ctypes.c_void_p
     lib.intersect_ed.restype = ctypes.c_long
     lib.intersect_ed.argtypes = [
-        ctypes.c_long, _I64, _I64, _F64,
-        ctypes.c_long, _I64, _I64, _F64,
-        ctypes.c_double, _I64, _I64, _F64]
+        ctypes.c_long, P, P, P,
+        ctypes.c_long, P, P, P,
+        ctypes.c_double, P, P, P]
     lib.intersect_norm.restype = ctypes.c_long
     lib.intersect_norm.argtypes = [
-        ctypes.c_long, _I64, _I64, _F64, _F64, _F64, _F64, _F64, _U64,
-        ctypes.c_long, _I64, _I64, _F64, _F64, _F64, _F64, _F64, _U64,
+        ctypes.c_long, P, P, P, P, P, P, P, P,
+        ctypes.c_long, P, P, P, P, P, P, P, P,
         ctypes.c_double, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        _I64, _I64, _F64, _F64, _F64, _F64, _F64, _U64]
+        P, P, P, P, P, P, P, P]
     lib.merge_sorted_ed.restype = ctypes.c_long
     lib.merge_sorted_ed.argtypes = [
         ctypes.c_long, _I64, _I64, _F64, _I64, _I64, _F64]
@@ -90,11 +94,11 @@ def _build() -> ctypes.CDLL | None:
         _I64, _I64, _I64, _I64]
     lib.scan_fill.restype = ctypes.c_long
     lib.scan_fill.argtypes = [
-        ctypes.c_long, _I64, _I64, _I64,
+        ctypes.c_long, P, P, P,
         ctypes.c_long, ctypes.c_long, ctypes.c_int64,
-        _F64, _F64, _F64, _F64, _F64, _U64,
+        P, P, P, P, P, P,
         ctypes.c_int,
-        _I64, _I64, _F64, _F64, _F64, _F64, _F64, _U64]
+        P, P, P, P, P, P, P, P]
     return lib
 
 
@@ -182,21 +186,32 @@ def _cf(a) -> np.ndarray:
     return np.ascontiguousarray(a, np.float64)
 
 
+# Ping-pong generation for the intersection scratch: a result must stay valid
+# while the NEXT intersection (which reads it as input) writes — two alternating
+# pools give exactly that lifetime without copying outputs (phase 1 consumes a
+# candidate set in the iteration after it is produced, then drops it).
+_PING = {"ied": 0, "inorm": 0}
+
+
 def intersect_ed(cs: dict, raw: dict, eps2: float):
     """Fused sorted-x-sorted ED intersection + eps filter; returns a cs-style
-    dict or None when native is unavailable."""
+    dict or None when native is unavailable.  The arrays are scratch VIEWS
+    valid until the second-next intersect_ed call."""
     lib = get_lib()
     if lib is None:
         return None
     na, nb = cs["left"].size, raw["left"].size
     cap = na + nb
-    ol = _scratch("ied_l", cap, np.int64)
-    orr = _scratch("ied_r", cap, np.int64)
-    oe = _scratch("ied_e", cap, np.float64)
-    k = lib.intersect_ed(na, _c64(cs["left"]), _c64(cs["right"]), _cf(cs["eps"]),
-                         nb, _c64(raw["left"]), _c64(raw["right"]), _cf(raw["eps"]),
-                         eps2, ol, orr, oe)
-    return {"left": ol[:k].copy(), "right": orr[:k].copy(), "eps": oe[:k].copy()}
+    g = _PING["ied"] = 1 - _PING["ied"]
+    ol = _scratch(f"ied_l{g}", cap, np.int64)
+    orr = _scratch(f"ied_r{g}", cap, np.int64)
+    oe = _scratch(f"ied_e{g}", cap, np.float64)
+    a_l, a_r, a_e = _c64(cs["left"]), _c64(cs["right"]), _cf(cs["eps"])
+    b_l, b_r, b_e = _c64(raw["left"]), _c64(raw["right"]), _cf(raw["eps"])
+    k = lib.intersect_ed(na, a_l.ctypes.data, a_r.ctypes.data, a_e.ctypes.data,
+                         nb, b_l.ctypes.data, b_r.ctypes.data, b_e.ctypes.data,
+                         eps2, ol.ctypes.data, orr.ctypes.data, oe.ctypes.data)
+    return {"left": ol[:k], "right": orr[:k], "eps": oe[:k]}
 
 
 def intersect_norm(cs: dict, raw: dict, eps2: float, use_beta: bool,
@@ -207,24 +222,26 @@ def intersect_norm(cs: dict, raw: dict, eps2: float, use_beta: bool,
         return None
     na, nb = cs["left"].size, raw["left"].size
     cap = na + nb
-    out = {name: _scratch("inorm_" + name, cap,
+    g = _PING["inorm"] = 1 - _PING["inorm"]
+    out = {name: _scratch(f"inorm{g}_{name}", cap,
                           np.uint64 if name == "beta" else
                           (np.int64 if name in ("left", "right") else np.float64))
            for name in ("left", "right", "eps", "ex_lo", "ex2_lo",
                         "ex_up", "ex2_up", "beta")}
+    cols = ("left", "right", "eps", "ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta")
+    a_in = [np.ascontiguousarray(cs[c], np.uint64) if c == "beta" else
+            (_c64(cs[c]) if c in ("left", "right") else _cf(cs[c])) for c in cols]
+    b_in = [np.ascontiguousarray(raw[c], np.uint64) if c == "beta" else
+            (_c64(raw[c]) if c in ("left", "right") else _cf(raw[c])) for c in cols]
     k = lib.intersect_norm(
-        na, _c64(cs["left"]), _c64(cs["right"]), _cf(cs["eps"]),
-        _cf(cs["ex_lo"]), _cf(cs["ex2_lo"]), _cf(cs["ex_up"]), _cf(cs["ex2_up"]),
-        np.ascontiguousarray(cs["beta"], np.uint64),
-        nb, _c64(raw["left"]), _c64(raw["right"]), _cf(raw["eps"]),
-        _cf(raw["ex_lo"]), _cf(raw["ex2_lo"]), _cf(raw["ex_up"]), _cf(raw["ex2_up"]),
-        np.ascontiguousarray(raw["beta"], np.uint64),
+        na, *(a.ctypes.data for a in a_in),
+        nb, *(b.ctypes.data for b in b_in),
         eps2, int(use_beta), int(use_std),
         float(unit), float(qlen), float(p_units),
         alpha, beta, mu_q, sd_q,
-        out["left"], out["right"], out["eps"],
-        out["ex_lo"], out["ex2_lo"], out["ex_up"], out["ex2_up"], out["beta"])
-    return {name: a[:k].copy() for name, a in out.items()}
+        *(out[c].ctypes.data for c in cols))
+    # Scratch VIEWS, valid until the second-next intersect_norm call.
+    return {name: a[:k] for name, a in out.items()}
 
 
 _EMPTY_F = np.empty(0, np.float64)
@@ -270,22 +287,27 @@ def scan_fill(p_left, p_right, p_row, a: int, b: int, i0: int, i1: int,
     else:
         o_exlo = o_ex2lo = o_exup = o_ex2up = _EMPTY_F
         o_beta = _EMPTY_U
+    ins = [_c64(p_left[a:b]), _c64(p_right[a:b]), _c64(p_row[a:b]),
+           _cf(row_payloads["eps"]),
+           _cf(row_payloads.get("ex_lo", _EMPTY_F)) if norm else _EMPTY_F,
+           _cf(row_payloads.get("ex2_lo", _EMPTY_F)) if norm else _EMPTY_F,
+           _cf(row_payloads.get("ex_up", _EMPTY_F)) if norm else _EMPTY_F,
+           _cf(row_payloads.get("ex2_up", _EMPTY_F)) if norm else _EMPTY_F,
+           np.ascontiguousarray(row_payloads.get("beta", _EMPTY_U), np.uint64)
+           if norm else _EMPTY_U]
     k = lib.scan_fill(
-        np_, _c64(p_left[a:b]), _c64(p_right[a:b]), _c64(p_row[a:b]),
+        np_, ins[0].ctypes.data, ins[1].ctypes.data, ins[2].ctypes.data,
         i0, i1, min_right,
-        _cf(row_payloads["eps"]),
-        _cf(row_payloads.get("ex_lo", _EMPTY_F)) if norm else _EMPTY_F,
-        _cf(row_payloads.get("ex2_lo", _EMPTY_F)) if norm else _EMPTY_F,
-        _cf(row_payloads.get("ex_up", _EMPTY_F)) if norm else _EMPTY_F,
-        _cf(row_payloads.get("ex2_up", _EMPTY_F)) if norm else _EMPTY_F,
-        np.ascontiguousarray(row_payloads.get("beta", _EMPTY_U), np.uint64)
-        if norm else _EMPTY_U,
-        ncols, ol, orr, oe, o_exlo, o_ex2lo, o_exup, o_ex2up, o_beta)
-    out = {"left": ol[:k].copy(), "right": orr[:k].copy(), "eps": oe[:k].copy()}
+        *(x.ctypes.data for x in ins[3:]),
+        ncols, ol.ctypes.data, orr.ctypes.data, oe.ctypes.data,
+        o_exlo.ctypes.data, o_ex2lo.ctypes.data, o_exup.ctypes.data,
+        o_ex2up.ctypes.data, o_beta.ctypes.data)
+    # Scratch VIEWS, valid until the next scan_fill call: phase 1 consumes a
+    # scan's output in the same iteration (intersection or first-segment clip).
+    out = {"left": ol[:k], "right": orr[:k], "eps": oe[:k]}
     if norm:
-        out.update(ex_lo=o_exlo[:k].copy(), ex2_lo=o_ex2lo[:k].copy(),
-                   ex_up=o_exup[:k].copy(), ex2_up=o_ex2up[:k].copy(),
-                   beta=o_beta[:k].copy())
+        out.update(ex_lo=o_exlo[:k], ex2_lo=o_ex2lo[:k],
+                   ex_up=o_exup[:k], ex2_up=o_ex2up[:k], beta=o_beta[:k])
     return out
 
 

@@ -85,32 +85,34 @@ def determine_query_plan(
     pre_lo = np.concatenate(([0.0], np.cumsum(sums_lo)))
     pre_hi = np.concatenate(([0.0], np.cumsum(sums_hi)))
 
-    # Per-scale cost arrays over all valid starts.
+    # Per-scale cost arrays over all valid starts.  Costs are path SUMS with a
+    # large negative clip standing in for log(0) — see
+    # determine_query_plans_batched for why this matches the average form.
+    NEG_CLIP = -1e18
     means_lo, means_hi, costs, counts = {}, {}, {}, {}
     for k in enabled_k:
         w = unit * k
         mlo = (pre_lo[k:] - pre_lo[:m - k + 1]) / w
         mhi = (pre_hi[k:] - pre_hi[:m - k + 1]) / w
         c, cnt = cost_batch_fn(w, mlo, mhi)
-        means_lo[k], means_hi[k], costs[k], counts[k] = mlo, mhi, c, cnt
+        means_lo[k], means_hi[k] = mlo, mhi
+        costs[k] = np.maximum(c, NEG_CLIP)
+        counts[k] = cnt
 
     INF = float("inf")
     dp = np.full((max_j + 1, m + 1), INF)
-    pre = np.full((max_j + 1, m + 1), -1, np.int64)
+    pre = np.full((max_j + 1, m + 1), -1, np.int8)
     dp[0, 0] = 0.0
     for j in range(1, max_j + 1):
         best = np.full(m + 1, INF)
-        best_k = np.full(m + 1, -1, np.int64)
+        best_k = np.full(m + 1, -1, np.int8)
         for k in enabled_k:
             # segment covers units [i-k, i-1] -> ends at i in [k, m]
-            base = dp[j - 1, : m - k + 1]
-            with np.errstate(invalid="ignore"):
-                cand = np.where(np.isfinite(base),
-                                ((j - 1) * base + costs[k]) / j, INF)
+            cand = dp[j - 1, : m - k + 1] + costs[k]
             cur = best[k:]
             better = cand < cur
             best[k:] = np.where(better, cand, cur)
-            best_k[k:] = np.where(better, k, best_k[k:])
+            best_k[k:] = np.where(better, np.int8(k), best_k[k:])
         dp[j] = best
         pre[j] = best_k
 
@@ -119,8 +121,8 @@ def determine_query_plan(
     j_lo = max(1, (int(math.floor(math.log2(length))) - 1) // 2)
     best_v, p = INF, -1
     for j in range(j_lo, max_j + 1):
-        if dp[j, m] <= best_v:
-            best_v, p = dp[j, m], j
+        if dp[j, m] / j <= best_v:
+            best_v, p = dp[j, m] / j, j
     if p < 0 or not np.isfinite(dp[p, m]):
         for j in range(1, max_j + 1):
             if np.isfinite(dp[j, m]):
@@ -151,12 +153,24 @@ def determine_query_plans_batched(
     cost_batch_fns: List[CostBatchFn],
     icfg: IndexConfig,
     qcfg: QueryConfig,
+    cost_batch_multi: CostBatchFn | None = None,
 ) -> List[List[QuerySegment]]:
     """Batched ``determine_query_plan``: the same DP with all queries stacked on
     a leading axis, so the 30x5 small-array transition ops amortize across the
     batch (they dominate planning time for 100+-query batches).  Inputs are
     (Q, m) unit-sum tracks and one cost function per query; output plans are
-    identical to per-query calls (tested)."""
+    identical to per-query calls (tested).
+
+    ``cost_batch_multi``, when given, replaces the per-query cost loop: it
+    receives the full (Q, S) mean tracks and returns (Q, S) costs/counts in one
+    vectorized call per scale (engines build it from per-query parameter
+    arrays).
+
+    The DP stores per-path cost SUMS, not averages: within a fixed segment
+    count j, comparing sums and comparing averages pick the same argmin, so
+    the j-division happens once at the final j selection.  Minus-infinite
+    per-segment costs (log of a zero count) are clipped to a large negative
+    sentinel so INF + cost never produces NaN."""
     unit = icfg.unit
     Q, m = sums_lo_q.shape
     max_j = min(m, qcfg.max_segments)
@@ -167,33 +181,36 @@ def determine_query_plans_batched(
     pre_lo = np.concatenate([np.zeros((Q, 1)), np.cumsum(sums_lo_q, axis=1)], axis=1)
     pre_hi = np.concatenate([np.zeros((Q, 1)), np.cumsum(sums_hi_q, axis=1)], axis=1)
 
+    NEG_CLIP = -1e18
     means_lo, means_hi, costs, counts = {}, {}, {}, {}
     for k in enabled_k:
         w = unit * k
         mlo = (pre_lo[:, k:] - pre_lo[:, : m - k + 1]) / w
         mhi = (pre_hi[:, k:] - pre_hi[:, : m - k + 1]) / w
-        c = np.empty_like(mlo)
-        cnt = np.empty(mlo.shape, np.int64)
-        for qi in range(Q):
-            c[qi], cnt[qi] = cost_batch_fns[qi](w, mlo[qi], mhi[qi])
-        means_lo[k], means_hi[k], costs[k], counts[k] = mlo, mhi, c, cnt
+        if cost_batch_multi is not None:
+            c, cnt = cost_batch_multi(w, mlo, mhi)
+        else:
+            c = np.empty_like(mlo)
+            cnt = np.empty(mlo.shape, np.int64)
+            for qi in range(Q):
+                c[qi], cnt[qi] = cost_batch_fns[qi](w, mlo[qi], mhi[qi])
+        means_lo[k], means_hi[k] = mlo, mhi
+        costs[k] = np.maximum(c, NEG_CLIP)
+        counts[k] = cnt
 
     INF = float("inf")
     dp = np.full((max_j + 1, Q, m + 1), INF)
-    pre = np.full((max_j + 1, Q, m + 1), -1, np.int64)
+    pre = np.full((max_j + 1, Q, m + 1), -1, np.int8)
     dp[0, :, 0] = 0.0
     for j in range(1, max_j + 1):
         best = np.full((Q, m + 1), INF)
-        best_k = np.full((Q, m + 1), -1, np.int64)
+        best_k = np.full((Q, m + 1), -1, np.int8)
         for k in enabled_k:
-            base = dp[j - 1, :, : m - k + 1]
-            with np.errstate(invalid="ignore"):
-                cand = np.where(np.isfinite(base),
-                                ((j - 1) * base + costs[k]) / j, INF)
+            cand = dp[j - 1, :, : m - k + 1] + costs[k]
             cur = best[:, k:]
             better = cand < cur
             best[:, k:] = np.where(better, cand, cur)
-            best_k[:, k:] = np.where(better, k, best_k[:, k:])
+            best_k[:, k:] = np.where(better, np.int8(k), best_k[:, k:])
         dp[j] = best
         pre[j] = best_k
 
@@ -202,8 +219,8 @@ def determine_query_plans_batched(
     for qi in range(Q):
         best_v, p = INF, -1
         for j in range(j_lo, max_j + 1):
-            if dp[j, qi, m] <= best_v:
-                best_v, p = dp[j, qi, m], j
+            if dp[j, qi, m] / j <= best_v:
+                best_v, p = dp[j, qi, m] / j, j
         if p < 0 or not np.isfinite(dp[p, qi, m]):
             for j in range(1, max_j + 1):
                 if np.isfinite(dp[j, qi, m]):
