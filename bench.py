@@ -188,6 +188,15 @@ def main() -> int:
         tdd.append(tr.stats.t_total_ms)
     twin_dtw_ms = statistics.median(tdd)
 
+    # --- kernel efficiency (achieved HBM GB/s vs roofline; VERDICT r1 #8) ----
+    kernel_eff = {}
+    if not args.quick:
+        try:
+            from kvmatch_tpu.utils.kernel_bench import measure_kernel_efficiency
+            kernel_eff = measure_kernel_efficiency(engine.data_dev, reps=8)
+        except Exception as exc:
+            kernel_eff = {"error": str(exc)[:120]}
+
     out = {
         "metric": "RSM-ED demo query latency (n=1e6, L=8192, eps=10, self-query)",
         "value": round(demo_ms, 2),
@@ -227,6 +236,7 @@ def main() -> int:
             "rsm_batch_host_rechecked": rsm_near,
             "n": n,
             "device": str(jax.devices()[0]),
+            "kernel_efficiency": kernel_eff,
             "correctness": {
                 "demo_exact": demo_ok,
                 "rsm_batch_self_found": f"{found}/{nq}",

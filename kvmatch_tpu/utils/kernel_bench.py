@@ -1,0 +1,170 @@
+"""On-device kernel-efficiency measurement: achieved HBM bandwidth per hot kernel.
+
+"Fast" has to be auditable against the roofline (VERDICT round-1 item 8): for
+each phase-2 kernel and the device build pass this reports
+
+    achieved GB/s = mandatory HBM bytes / device time per iteration
+
+where *mandatory bytes* count each input element read once and each output
+element written once — the traffic a perfect fusion would still pay.  XLA may
+move more (e.g. materialized gathers, FFT passes), so these numbers lower-bound
+the kernel's true bandwidth and are directly comparable to the chip's HBM peak
+(v5e ~= 800 GB/s).
+
+Timing runs REPS iterations inside one jitted lax.scan with the iteration index
+folded into the inputs (defeats CSE) and an accumulated scalar carried out
+(defeats DCE), so per-call dispatch — ~25 ms on the tunnel-attached dev TPU —
+is amortized away and the numbers reflect on-device time.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict
+
+import numpy as np
+
+
+def _timed_scan(fn: Callable, reps: int):
+    """Build a jitted runner: acc = sum_i float(fn(i)); returns seconds/iter."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run():
+        def body(carry, i):
+            return carry + fn(i), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
+        return acc
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(run())
+    return (time.perf_counter() - t0) / reps
+
+
+def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
+    """Measure the hot kernels against ``data_dev`` (f32 device array, n >= 2^21).
+
+    Returns a flat dict of {kernel}_gbps / {kernel}_ms fields for bench extras.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.dtw import dtw_banded_batch
+    from ..ops.ed import ed_distances
+    from ..ops.regions import region_znorm_distances
+    from ..ops.sliding import build_buckets
+
+    n = int(data_dev.shape[0])
+    out: Dict[str, float] = {}
+    rng = np.random.default_rng(0)
+
+    # --- gather-ED: B candidate windows of length L ---------------------------
+    B, L = 4096, 1024
+    offs = jnp.asarray(rng.integers(0, n - L - reps, B), jnp.int32)
+    q = data_dev[:L]
+
+    def gather_fn(i):
+        d2 = ed_distances(data_dev, q, offs + i, L)
+        return jnp.sum(d2)
+
+    sec = _timed_scan(gather_fn, reps)
+    bytes_moved = B * L * 4 + L * 4 + B * 4
+    out["gather_ed_gbps"] = bytes_moved / sec / 1e9
+    out["gather_ed_ms"] = sec * 1e3
+    out["gather_ed_shape"] = f"B={B} L={L}"
+
+    # --- region-FFT (MASS z-norm): R regions of M offsets ---------------------
+    R, M = 512, 512
+    r_len = M + L - 1
+    starts = jnp.asarray(rng.integers(0, n - r_len - reps, R), jnp.int32)
+    qh = (q - jnp.mean(q)) / (jnp.std(q) + 1e-9)
+
+    def region_fn(i):
+        d2, mean, std = region_znorm_distances(data_dev, qh, starts + i, L, M)
+        # consume every output so XLA can't DCE the FFT or the sliding sums
+        return (jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0.0))
+                + jnp.sum(mean) + jnp.sum(std))
+
+    sec = _timed_scan(region_fn, reps)
+    bytes_moved = R * r_len * 4 + L * 4 + 3 * R * M * 4  # reads + (d2, mean, std)
+    out["region_fft_gbps"] = bytes_moved / sec / 1e9
+    out["region_fft_ms"] = sec * 1e3
+    out["region_fft_shape"] = f"R={R} M={M} L={L}"
+    out["region_fft_offsets_per_s"] = R * M / sec
+
+    # --- banded DTW: B windows, band radius r ---------------------------------
+    Bd, rho = 1024, 51
+    offs_d = jnp.asarray(rng.integers(0, n - L - reps, Bd), jnp.int32)
+
+    def dtw_fn(i):
+        # gather windows (counted in bytes) then the prefix-scan band DP
+        import jax
+        w = jax.vmap(lambda o: jax.lax.dynamic_slice(data_dev, (o,), (L,)))(offs_d + i)
+        return jnp.sum(dtw_banded_batch(w, q, rho))
+
+    sec = _timed_scan(dtw_fn, reps)
+    W = 2 * rho + 1
+    bytes_moved = Bd * L * 4 + L * 4 + Bd * 4
+    flops = Bd * L * W * 8  # per cell: diff^2 + 2 cumulative scans + mins
+    out["banded_dtw_gbps"] = bytes_moved / sec / 1e9
+    out["banded_dtw_gflops"] = flops / sec / 1e9
+    out["banded_dtw_ms"] = sec * 1e3
+    out["banded_dtw_shape"] = f"B={Bd} L={L} rho={rho}"
+    out["banded_dtw_cands_per_s"] = Bd / sec
+
+    # --- device build pass: bucket ids for all scales -------------------------
+    from ..config import DEFAULT_INDEX_CONFIG
+    scales = tuple(DEFAULT_INDEX_CONFIG.scales)
+    nb = min(n, 1 << 22)
+    piece = data_dev[:nb]
+
+    def build_fn(i):
+        # i-dependent epsilon keeps the scan body from being CSE'd; 1e-12 is
+        # far below the bucket grid so the work is identical
+        bk = build_buckets(piece + jnp.float32(i) * np.float32(1e-12),
+                           scales, DEFAULT_INDEX_CONFIG.pos_of_d)
+        return sum(jnp.sum(v[:: 4096].astype(jnp.float32)) for v in bk.values())
+
+    sec = _timed_scan(build_fn, reps)
+    bytes_moved = nb * 4 + len(scales) * nb * 4
+    out["build_pass_gbps"] = bytes_moved / sec / 1e9
+    out["build_pass_mpts_per_s"] = nb * len(scales) / sec / 1e6
+    out["build_pass_ms"] = sec * 1e3
+    out["build_pass_shape"] = f"n={nb} scales={len(scales)}"
+
+    return {k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in out.items()}
+
+
+def compare_pallas_gather(data_dev, reps: int = 8) -> Dict[str, float]:
+    """window_distances_pallas (async-DMA streaming) vs the XLA gather path on
+    identical shapes — the round-1 'decide the Pallas kernel's fate' item."""
+    import jax.numpy as jnp
+
+    from ..ops.ed import ed_distances
+    from ..ops.pallas_ed import window_distances_pallas
+
+    n = int(data_dev.shape[0])
+    out: Dict[str, float] = {}
+    rng = np.random.default_rng(1)
+    for B, L in ((4096, 1024), (1024, 8192)):
+        offs = jnp.asarray(rng.integers(0, n - L - reps, B), jnp.int32)
+        q = data_dev[:L]
+
+        def xla_fn(i):
+            return jnp.sum(ed_distances(data_dev, q, offs + i, L))
+
+        def pallas_fn(i):
+            return jnp.sum(window_distances_pallas(data_dev, q, offs + i, L))
+
+        sec_x = _timed_scan(xla_fn, reps)
+        try:
+            sec_p = _timed_scan(pallas_fn, reps)
+        except Exception as exc:  # pallas lowering unavailable (e.g. CPU)
+            out[f"pallas_error_B{B}_L{L}"] = str(exc)[:80]
+            continue
+        out[f"xla_gather_ms_B{B}_L{L}"] = round(sec_x * 1e3, 2)
+        out[f"pallas_gather_ms_B{B}_L{L}"] = round(sec_p * 1e3, 2)
+        out[f"pallas_speedup_B{B}_L{L}"] = round(sec_x / sec_p, 2)
+    return out

@@ -139,3 +139,46 @@ def test_rle_cap_unit():
     assert ob.tolist() == [5, 5, 5, 7, 5, 9]
     assert ol.tolist() == [0, 255, 510, 600, 855, 856]
     assert orr.tolist() == [254, 509, 599, 854, 855, 857]
+
+
+def test_group_rows_unit():
+    """Counting-sort grouping equals the argsort reference: ascending unique
+    buckets, row CSR offsets, and position-ordered intervals per row —
+    including negative bucket ids."""
+    if native.get_lib() is None:
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(11)
+    b = rng.integers(-40, 40, 5000).astype(np.int32)
+    l = np.sort(rng.choice(10_000_000, 5000, replace=False)).astype(np.int64)
+    r = l + rng.integers(0, 200, 5000)
+    got = native.group_rows(b, l, r)
+    assert got is not None
+    ub, row_ptr, gl, gr = got
+    order = np.argsort(b, kind="stable")
+    ub_ref, starts = np.unique(b[order], return_index=True)
+    assert np.array_equal(ub, ub_ref.astype(np.int64))
+    assert np.array_equal(row_ptr[:-1], starts)
+    assert row_ptr[-1] == b.size
+    assert np.array_equal(gl, l[order])
+    assert np.array_equal(gr, r[order])
+
+
+def test_group_merge_ascending_order():
+    """group_merge emits rows ascending by key with intra-row interval order
+    preserved (the C kernel writes from the buffer end)."""
+    if native.get_lib() is None:
+        pytest.skip("native unavailable")
+    # Three rows; the middle one is tiny and should merge into the scan group
+    # when the union shrinks enough.
+    row_start = np.array([0, 3, 4], np.int64)
+    row_end = np.array([3, 4, 7], np.int64)
+    ub = np.array([10, 11, 12], np.int64)
+    l = np.array([0, 100, 200,  5,  0, 50, 300], np.int64)
+    r = np.array([9, 109, 209, 14, 9, 59, 309], np.int64)
+    keys, counts, ol, orr = native.group_merge(
+        row_start, row_end, ub, l, r, merge_thresh=2.0, shrink_factor=0.99,
+        cap=256)
+    assert np.all(np.diff(keys) > 0)          # ascending
+    assert int(counts.sum()) == ol.size == orr.size
+    # row 11 (single interval [5,14]) merges into row 12's group -> keeps key 11
+    assert 10 in keys and (11 in keys or 12 in keys)
