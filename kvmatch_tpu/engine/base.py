@@ -210,6 +210,23 @@ class BaseEngine:
             out[name] = colv[rep_rows]
         return out
 
+    CONFIRM_CHUNK = 32768  # caps host (chunk, L) f64 gathers at ~2 GB for L=8192
+
+    @classmethod
+    def _chunked_confirm(cls, near: np.ndarray, piece_fn):
+        """Run an exact host confirmation over ``near`` in bounded chunks so a
+        candidate flood (possible at n=1e9 with a loose epsilon) cannot
+        materialize a (near, L) float64 matrix of tens of GB.  ``piece_fn``
+        maps a chunk of offsets to (kept_offsets, distances)."""
+        if near.size <= cls.CONFIRM_CHUNK:
+            return piece_fn(near)
+        offs, dists = [], []
+        for s in range(0, near.size, cls.CONFIRM_CHUNK):
+            o, d = piece_fn(near[s: s + cls.CONFIRM_CHUNK])
+            offs.append(o)
+            dists.append(d)
+        return np.concatenate(offs), np.concatenate(dists)
+
     def _cost_normalizer(self) -> float:
         """Total interval count of the w=100 index (or the closest enabled scale) —
         the denominator of the DP's log-selectivity (QueryEngine.java:409)."""

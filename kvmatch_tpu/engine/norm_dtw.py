@@ -110,25 +110,30 @@ class NormQueryEngineDtw(NormQueryEngine):
         return per_q
 
     def _confirm_dtw(self, near: np.ndarray, ctx: _Ctx):
-        """Exact float64 confirmation: constraints + banded DTW on z-normed windows."""
+        """Exact float64 confirmation: constraints + banded DTW on z-normed
+        windows (chunked — see BaseEngine._chunked_confirm)."""
         rho = ctx.params["rho"]
         alpha = ctx.params["alpha"]
         beta = ctx.params["beta"]
         mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
         L = ctx.length
         zq = (ctx.query - mu_q) / sd_q
-        idx = near[:, None] + np.arange(L)[None, :]
-        x = self.data[idx]
-        mu_h = x.mean(axis=1)
-        var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
-        sd_h = np.sqrt(var_h)
-        ratio_h = sd_h / sd_q
-        ok_h = (np.abs(mu_h - mu_q) <= beta) & (ratio_h <= alpha) & \
-               (ratio_h >= 1.0 / alpha) & (sd_h > 0)
-        z = (x - mu_h[:, None]) / np.where(sd_h > 0, sd_h, 1.0)[:, None]
-        d2h = dtw_banded_batch_f64(z, zq, rho)
-        keep = ok_h & (d2h <= ctx.eps2)
-        return near[keep], np.sqrt(d2h[keep])
+        cols = np.arange(L)
+
+        def piece(p):
+            x = self.data[p[:, None] + cols[None, :]]
+            mu_h = x.mean(axis=1)
+            var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
+            sd_h = np.sqrt(var_h)
+            ratio_h = sd_h / sd_q
+            ok_h = (np.abs(mu_h - mu_q) <= beta) & (ratio_h <= alpha) & \
+                   (ratio_h >= 1.0 / alpha) & (sd_h > 0)
+            z = (x - mu_h[:, None]) / np.where(sd_h > 0, sd_h, 1.0)[:, None]
+            d2h = dtw_banded_batch_f64(z, zq, rho)
+            keep = ok_h & (d2h <= ctx.eps2)
+            return p[keep], np.sqrt(d2h[keep])
+
+        return self._chunked_confirm(near, piece)
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
         """Single query = batch of one through the fused multi-query stages."""

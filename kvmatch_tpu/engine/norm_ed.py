@@ -457,7 +457,8 @@ class NormQueryEngine(BaseEngine):
         return results
 
     def _confirm_znorm_exact(self, near: np.ndarray, ctx: _Ctx):
-        """Exact float64 confirmation when the device prefilter already ran."""
+        """Exact float64 confirmation when the device prefilter already ran
+        (chunked — see BaseEngine._chunked_confirm)."""
         ctx.stats.n_host_rechecked = int(near.size)
         if near.size == 0:
             return np.empty(0, np.int64), np.empty(0)
@@ -466,19 +467,23 @@ class NormQueryEngine(BaseEngine):
         mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
         L = ctx.length
         q_hat = (ctx.query - mu_q) / sd_q
-        idx = near[:, None] + np.arange(L)[None, :]
-        x = self.data[idx]
-        mu_h = x.mean(axis=1)
-        var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
-        sd_h = np.sqrt(var_h)
-        ratio_h = sd_h / sd_q
-        ok_h = (np.abs(mu_h - mu_q) <= beta) & (ratio_h <= alpha) & \
-               (ratio_h >= 1.0 / alpha) & (sd_h > 0)
-        zt = (x - mu_h[:, None]) / np.where(sd_h > 0, sd_h, 1.0)[:, None]
-        diff = zt - q_hat[None, :]
-        d2h = np.einsum("ij,ij->i", diff, diff)
-        keep = ok_h & (d2h <= ctx.eps2)
-        return near[keep], np.sqrt(d2h[keep])
+        cols = np.arange(L)
+
+        def piece(p):
+            x = self.data[p[:, None] + cols[None, :]]
+            mu_h = x.mean(axis=1)
+            var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
+            sd_h = np.sqrt(var_h)
+            ratio_h = sd_h / sd_q
+            ok_h = (np.abs(mu_h - mu_q) <= beta) & (ratio_h <= alpha) & \
+                   (ratio_h >= 1.0 / alpha) & (sd_h > 0)
+            zt = (x - mu_h[:, None]) / np.where(sd_h > 0, sd_h, 1.0)[:, None]
+            diff = zt - q_hat[None, :]
+            d2h = np.einsum("ij,ij->i", diff, diff)
+            keep = ok_h & (d2h <= ctx.eps2)
+            return p[keep], np.sqrt(d2h[keep])
+
+        return self._chunked_confirm(near, piece)
 
     def _confirm_znorm(self, offsets, d2, mu, sd, ctx: _Ctx):
         """Guarded device pre-filter -> exact float64 host confirmation."""
@@ -495,23 +500,8 @@ class NormQueryEngine(BaseEngine):
              (ratio >= 1.0 / alpha - cg) & (sd > 0)
         thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, L, self.qcfg.verify_guard)
         near = offsets[ok & (d2 <= thresh)]
-        ctx.stats.n_host_rechecked = int(near.size)
-        if near.size == 0:
-            return np.empty(0, np.int64), np.empty(0)
-        q_hat = (ctx.query - mu_q) / sd_q
-        idx = near[:, None] + np.arange(L)[None, :]
-        x = self.data[idx]
-        mu_h = x.mean(axis=1)
-        var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
-        sd_h = np.sqrt(var_h)
-        ratio_h = sd_h / sd_q
-        ok_h = (np.abs(mu_h - mu_q) <= beta) & (ratio_h <= alpha) & \
-               (ratio_h >= 1.0 / alpha) & (sd_h > 0)
-        zt = (x - mu_h[:, None]) / np.where(sd_h > 0, sd_h, 1.0)[:, None]
-        diff = zt - q_hat[None, :]
-        d2h = np.einsum("ij,ij->i", diff, diff)
-        keep = ok_h & (d2h <= ctx.eps2)
-        return near[keep], np.sqrt(d2h[keep])
+        # Same exact recheck as the device-prefiltered path (chunked there).
+        return self._confirm_znorm_exact(near, ctx)
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp

@@ -92,15 +92,20 @@ class QueryEngineDtw(QueryEngine):
                 s_off.size, s_off.astype(np.int32),
                 s_qid, lo=min(self.qcfg.verify_batch, 1024))
             near_mask = d2 <= threshs[s_qid]
+            cols = np.arange(L)
             for qi, ctx in enumerate(ctxs):
                 near = s_off[near_mask & (s_qid == qi)]
                 ctx.stats.n_host_rechecked = int(near.size)
                 if near.size == 0:
                     continue
-                idx = near[:, None] + np.arange(L)[None, :]
-                d2h = dtw_banded_batch_f64(self.data[idx], ctx.query, rho)
-                keep = d2h <= ctx.eps2
-                per_q[qi] = (near[keep], np.sqrt(d2h[keep]))
+
+                def piece(p, ctx=ctx):
+                    d2h = dtw_banded_batch_f64(
+                        self.data[p[:, None] + cols[None, :]], ctx.query, rho)
+                    keep = d2h <= ctx.eps2
+                    return p[keep], np.sqrt(d2h[keep])
+
+                per_q[qi] = self._chunked_confirm(near, piece)
         return per_q
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:

@@ -104,15 +104,20 @@ class QueryEngine(BaseEngine):
         return run
 
     def _confirm_ed(self, near: np.ndarray, ctx: _Ctx):
-        """Exact float64 host confirmation of near-threshold candidates."""
+        """Exact float64 host confirmation of near-threshold candidates
+        (chunked — see BaseEngine._chunked_confirm)."""
         ctx.stats.n_host_rechecked = int(near.size)
         if near.size == 0:
             return np.empty(0, np.int64), np.empty(0)
-        idx = near[:, None] + np.arange(ctx.length)[None, :]
-        diff = self.data[idx] - ctx.query[None, :]
-        d2h = np.einsum("ij,ij->i", diff, diff)
-        keep = d2h <= ctx.eps2
-        return near[keep], np.sqrt(d2h[keep])
+        cols = np.arange(ctx.length)
+
+        def piece(p):
+            diff = self.data[p[:, None] + cols[None, :]] - ctx.query[None, :]
+            d2h = np.einsum("ij,ij->i", diff, diff)
+            keep = d2h <= ctx.eps2
+            return p[keep], np.sqrt(d2h[keep])
+
+        return self._chunked_confirm(near, piece)
 
     def _verify_intervals(self, left, right, ctx):
         return self._verify_multi([(left, right)], [ctx])[0]
@@ -230,12 +235,4 @@ class QueryEngine(BaseEngine):
         ctx.stats.n_device_checked = int(offsets.size)
         thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, ctx.length, self.qcfg.verify_guard)
         near = offsets[d2 <= thresh]
-        ctx.stats.n_host_rechecked = int(near.size)
-        if near.size == 0:
-            return np.empty(0, np.int64), np.empty(0)
-        # Exact float64 confirmation on host.
-        idx = near[:, None] + np.arange(ctx.length)[None, :]
-        diff = self.data[idx] - ctx.query[None, :]
-        d2h = np.einsum("ij,ij->i", diff, diff)
-        keep = d2h <= ctx.eps2
-        return near[keep], np.sqrt(d2h[keep])
+        return self._confirm_ed(near, ctx)

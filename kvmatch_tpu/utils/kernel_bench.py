@@ -59,8 +59,12 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     out: Dict[str, float] = {}
     rng = np.random.default_rng(0)
 
+    # Working sets are sized ~100-256 MB per iteration: the tunnel-attached dev
+    # TPU adds ~40 ms of fixed dispatch per program run (measured), so small
+    # iterations would report dispatch, not bandwidth.
+
     # --- gather-ED: B candidate windows of length L ---------------------------
-    B, L = 4096, 1024
+    B, L = 65536, 1024
     offs = jnp.asarray(rng.integers(0, n - L - reps, B), jnp.int32)
     q = data_dev[:L]
 
@@ -75,7 +79,7 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     out["gather_ed_shape"] = f"B={B} L={L}"
 
     # --- region-FFT (MASS z-norm): R regions of M offsets ---------------------
-    R, M = 512, 512
+    R, M = 8192, 512
     r_len = M + L - 1
     starts = jnp.asarray(rng.integers(0, n - r_len - reps, R), jnp.int32)
     qh = (q - jnp.mean(q)) / (jnp.std(q) + 1e-9)
@@ -94,7 +98,7 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     out["region_fft_offsets_per_s"] = R * M / sec
 
     # --- banded DTW: B windows, band radius r ---------------------------------
-    Bd, rho = 1024, 51
+    Bd, rho = 8192, 51
     offs_d = jnp.asarray(rng.integers(0, n - L - reps, Bd), jnp.int32)
 
     def dtw_fn(i):
@@ -116,7 +120,7 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     # --- device build pass: bucket ids for all scales -------------------------
     from ..config import DEFAULT_INDEX_CONFIG
     scales = tuple(DEFAULT_INDEX_CONFIG.scales)
-    nb = min(n, 1 << 22)
+    nb = min(n, 1 << 24)
     piece = data_dev[:nb]
 
     def build_fn(i):
