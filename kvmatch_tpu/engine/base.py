@@ -163,6 +163,13 @@ class BaseEngine:
         if row_total * 16 > p_row.size:
             keep = (p_row >= i0) & (p_row < i1)
             return p_row[keep] - i0, p_left[keep], p_right[keep]
+        # Rows are internally position-sorted and mutually disjoint, so the
+        # left-sorted union is a k-way merge — O(T log R) in C, no argsort.
+        from .. import native
+        mr = native.merge_rows(sc.row_ptr[rows], sc.row_ptr[rows + 1],
+                               sc.left, sc.right)
+        if mr is not None:
+            return mr
         # Probed rows are contiguous (probe_rows returns a key range), so their
         # CSR interval block is one contiguous slice — no index arithmetic.
         counts = sc.row_ptr[rows + 1] - sc.row_ptr[rows]

@@ -92,6 +92,9 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_long, _I32, _I64, _I64,
         ctypes.c_int64, ctypes.c_int64, _I64,
         _I64, _I64, _I64, _I64]
+    lib.merge_rows.restype = ctypes.c_long
+    lib.merge_rows.argtypes = [
+        ctypes.c_long, P, P, P, P, P, P, P, P, P, P]
     lib.scan_fill.restype = ctypes.c_long
     lib.scan_fill.argtypes = [
         ctypes.c_long, P, P, P,
@@ -309,6 +312,33 @@ def scan_fill(p_left, p_right, p_row, a: int, b: int, i0: int, i1: int,
         out.update(ex_lo=o_exlo[:k], ex2_lo=o_ex2lo[:k],
                    ex_up=o_exup[:k], ex2_up=o_ex2up[:k], beta=o_beta[:k])
     return out
+
+
+def merge_rows(row_start, row_end, left, right):
+    """Left-sorted k-way merge of R position-sorted CSR interval rows; returns
+    (row_of_interval, left, right) scratch VIEWS (valid until the next
+    merge_rows call) or None when native is unavailable.  row_start/row_end
+    are ABSOLUTE indices into left/right."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_start = _c64(row_start)
+    row_end = _c64(row_end)
+    left = _c64(left)
+    right = _c64(right)
+    R = int(row_start.size)
+    total = int((row_end - row_start).sum())
+    ol = _scratch("mr_l", total, np.int64)
+    orr = _scratch("mr_r", total, np.int64)
+    orow = _scratch("mr_row", total, np.int64)
+    hv = _scratch("mr_hv", R, np.int64)
+    hr = _scratch("mr_hr", R, np.int64)
+    cur = _scratch("mr_cur", R, np.int64)
+    k = lib.merge_rows(R, row_start.ctypes.data, row_end.ctypes.data,
+                       left.ctypes.data, right.ctypes.data,
+                       ol.ctypes.data, orr.ctypes.data, orow.ctypes.data,
+                       hv.ctypes.data, hr.ctypes.data, cur.ctypes.data)
+    return orow[:k], ol[:k], orr[:k]
 
 
 def dtw_band_f64(a_batch: np.ndarray, q: np.ndarray, r: int):

@@ -363,6 +363,64 @@ long group_merge(long R, const int64_t *row_start, const int64_t *row_end,
     return R - kpos;
 }
 
+/* K-way merge of R position-sorted interval rows (CSR slices of l/r) into one
+ * left-sorted stream, emitting each interval's source row (0-based relative to
+ * the first row).  A scale's rows are internally sorted by position and
+ * mutually disjoint, so a heap merge is O(T log R) — beating both the argsort
+ * gather (O(T log T)) and the full position-sorted index walk (O(total
+ * intervals of the scale)) for first-segment scans with no span bound.
+ * Scratch: heap_val/heap_row/cursor each hold R entries. */
+long merge_rows(long R, const int64_t *row_start, const int64_t *row_end,
+                const int64_t *l, const int64_t *r,
+                int64_t *ol, int64_t *orr, int64_t *orow,
+                int64_t *heap_val, int64_t *heap_row, int64_t *cursor)
+{
+    long hn = 0;
+    for (long i = 0; i < R; i++) {
+        cursor[i] = row_start[i];
+        if (row_start[i] < row_end[i]) {
+            /* sift up */
+            long c = hn++;
+            heap_val[c] = l[row_start[i]];
+            heap_row[c] = i;
+            while (c > 0) {
+                long p = (c - 1) >> 1;
+                if (heap_val[p] <= heap_val[c]) break;
+                int64_t tv = heap_val[p]; heap_val[p] = heap_val[c]; heap_val[c] = tv;
+                int64_t tr = heap_row[p]; heap_row[p] = heap_row[c]; heap_row[c] = tr;
+                c = p;
+            }
+        }
+    }
+    long k = 0;
+    while (hn > 0) {
+        long row = heap_row[0];
+        long cur = cursor[row];
+        ol[k] = l[cur]; orr[k] = r[cur]; orow[k] = row; k++;
+        cursor[row] = ++cur;
+        if (cur < row_end[row]) {
+            heap_val[0] = l[cur];
+            /* heap_row[0] stays */
+        } else {
+            hn--;
+            heap_val[0] = heap_val[hn];
+            heap_row[0] = heap_row[hn];
+        }
+        /* sift down */
+        long p = 0;
+        for (;;) {
+            long a = 2 * p + 1, b = 2 * p + 2, m = p;
+            if (a < hn && heap_val[a] < heap_val[m]) m = a;
+            if (b < hn && heap_val[b] < heap_val[m]) m = b;
+            if (m == p) break;
+            int64_t tv = heap_val[p]; heap_val[p] = heap_val[m]; heap_val[m] = tv;
+            int64_t tr = heap_row[p]; heap_row[p] = heap_row[m]; heap_row[m] = tr;
+            p = m;
+        }
+    }
+    return k;
+}
+
 /* Counting-sort grouping of RLE intervals by bucket id (replaces the host
  * argsort+unique+gather around group_merge — the build's serial hot spot on
  * this 1-core host).  Bucket ids span a tiny range (a few thousand distinct

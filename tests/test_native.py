@@ -182,3 +182,35 @@ def test_group_merge_ascending_order():
     assert int(counts.sum()) == ol.size == orr.size
     # row 11 (single interval [5,14]) merges into row 12's group -> keeps key 11
     assert 10 in keys and (11 in keys or 12 in keys)
+
+
+def test_merge_rows_unit():
+    """K-way merge equals the argsort reference on random disjoint rows."""
+    if native.get_lib() is None:
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(5)
+    # Build 7 rows of disjoint position-sorted intervals from a global pool.
+    pool_l = np.sort(rng.choice(1_000_000, 4000, replace=False)).astype(np.int64) * 300
+    pool_r = pool_l + rng.integers(0, 256, pool_l.size)
+    owner = rng.integers(0, 7, pool_l.size)
+    row_start, row_end, flat_l, flat_r = [], [], [], []
+    p = 0
+    for row in range(7):
+        sel = owner == row
+        row_start.append(p)
+        flat_l.append(pool_l[sel])
+        flat_r.append(pool_r[sel])
+        p += int(sel.sum())
+        row_end.append(p)
+    flat_l = np.concatenate(flat_l)
+    flat_r = np.concatenate(flat_r)
+    got = native.merge_rows(np.array(row_start, np.int64),
+                            np.array(row_end, np.int64), flat_l, flat_r)
+    assert got is not None
+    grow, gl, gr = got
+    order = np.argsort(flat_l, kind="stable")
+    assert np.array_equal(gl, flat_l[order])
+    assert np.array_equal(gr, flat_r[order])
+    rep = np.repeat(np.arange(7), np.diff([0] + row_end) if False else
+                    (np.array(row_end) - np.array(row_start)))
+    assert np.array_equal(grow, rep[order])
