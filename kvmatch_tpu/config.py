@@ -78,6 +78,16 @@ class QueryConfig:
     phase2_cost_b_dtw: float = 0.0106737255022236
     phase2_cost_intercept: float = 0.0
     min_segments_before_termination: int = 5
+    # Marginal-scan termination: skip a probe segment (and everything after it)
+    # when its PREDICTED scan volume — the plan's per-segment interval count —
+    # costs more than the current candidate set's phase-2 estimate.  The
+    # reference never needs this (its scans are small KV range reads; the
+    # time-based rule above reacts only AFTER paying for a scan), but with the
+    # whole index RAM-resident a dense segment can hold 1e8+ intervals and one
+    # scan+intersect pass costs seconds at n=1e9.  Sound: skipping probes only
+    # loosens the candidate set; phase 2 is exact.  The constant is host
+    # C-kernel throughput (~40M intervals/s measured on this 1-core box).
+    phase1_scan_cost_ms_per_interval: float = 2.5e-5
     # Normalized-engine extras (NormQueryEngine.java:57-60).
     enable_std_filter: bool = True
     enable_beta_partition: bool = True

@@ -282,6 +282,16 @@ class BaseEngine:
         falls back to the vectorized NumPy intersection."""
         return None
 
+    def _scan_join(self, seg: QuerySegment, cs, ctx: _Ctx):
+        """Fused scan+intersect join against the current candidate set (engines
+        with a native join kernel override); None falls back to scan+intersect."""
+        return None
+
+    # Use the join when the candidate set is this many times smaller than the
+    # segment's planned interval count (the join is O(|CS| log P) vs the
+    # scan's O(P) view walk).
+    JOIN_CS_RATIO = 16
+
     def _verify(self, offsets: np.ndarray, ctx: _Ctx
                 ) -> Tuple[np.ndarray, np.ndarray]:
         raise NotImplementedError
@@ -308,28 +318,35 @@ class BaseEngine:
         return self._center
 
     REGION_M = 512
-    # Gather-vs-region choice.  Measured on TPU: the per-candidate gather path
-    # moves L points per OFFSET at ~1% of HBM peak, while a region row moves
-    # M+L-1 points and one FFT (~ the cost of 2-3 candidate gathers).  So the
-    # region path wins whenever intervals average more than a few offsets;
-    # REGION_MIN_AVG sets that break-even (higher for the norm engines, whose
-    # scattered path is already cut down by the exact host constraint prefilter).
+    # Gather-vs-region choice by DEVICE TRAFFIC: a region row reads M+L-1
+    # points and serves up to M offsets (one FFT ~ the cost of 2-3 candidate
+    # gathers — the fudge factor); the gather path reads L points per offset.
+    # Intervals are gap-coalesced first (gap <= M), so dense-but-fragmented
+    # candidate sets (millions of short intervals a few positions apart at
+    # n=1e9) pack into shared regions instead of one region per interval.
+    # The norm engines use a larger fudge: their scattered path prunes with an
+    # exact host constraint prefilter before gathering.
     REGION_MIN_OFFSETS = 2048
-    REGION_MIN_AVG = 4.0
+    REGION_TRAFFIC_FUDGE = 2.0
 
     def _region_plan(self, cand_ivs, L: int):
         """Decide gather vs region path and, for the region path, pack all
-        queries' intervals into fixed-M region rows."""
-        from ..ops.regions import pack_regions
+        queries' gap-coalesced intervals into fixed-M region rows."""
+        from ..ops.regions import coalesce_intervals, pack_regions
         M = self.REGION_M
         n_offsets = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
+        if n_offsets < self.REGION_MIN_OFFSETS:
+            return None
+        merged = [coalesce_intervals(l, r, M) if l.size else (l, r)
+                  for l, r in cand_ivs]
         n_regions = sum(int(np.sum((r - l + 1 + M - 1) // M))
-                        for l, r in cand_ivs if l.size)
-        if (n_regions == 0 or n_offsets < self.REGION_MIN_OFFSETS
-                or n_offsets < n_regions * self.REGION_MIN_AVG):
+                        for l, r in merged if l.size)
+        if (n_regions == 0
+                or n_regions * (M + L - 1) * self.REGION_TRAFFIC_FUDGE
+                    > n_offsets * L):
             return None
         starts, vfrom, vto, qids = [], [], [], []
-        for qi, (l, r) in enumerate(cand_ivs):
+        for qi, (l, r) in enumerate(merged):
             if l.size == 0:
                 continue
             s, a, b = pack_regions(l, r, self.n, L, M)
@@ -360,15 +377,23 @@ class BaseEngine:
         cost_a = qcfg.phase2_cost_a_dtw if self.use_dtw_cost_model else qcfg.phase2_cost_a
         cost_b = qcfg.phase2_cost_b_dtw if self.use_dtw_cost_model else qcfg.phase2_cost_b
 
+        est2_now = float("inf")  # phase-2 estimate of the CURRENT cs
         for i, seg in enumerate(segments):
+            # Marginal-scan termination (see QueryConfig): the NEXT scan's
+            # predicted cost already exceeds verifying the current cs exactly.
+            if (qcfg.enable_early_termination and i >= 1
+                    and seg.count * qcfg.phase1_scan_cost_ms_per_interval
+                        > est2_now):
+                last_segment = seg.order  # cs is framed at this segment
+                ctx.stats.early_terminated = True
+                break
             delta = 0 if i == len(segments) - 1 else \
                 (segments[i + 1].order - seg.order) * unit
             ctx.processed_units += seg.w // unit
 
-            positions = self._scan(seg, ctx)
-            ctx.stats.n_scans += 1
-
             if i == 0:
+                positions = self._scan(seg, ctx)
+                ctx.stats.n_scans += 1
                 # Only the first segment's set becomes the running CS and needs
                 # sort+merge; later raw scans intersect against it unsorted.
                 positions = iv.merge_intervals(positions)
@@ -380,10 +405,18 @@ class BaseEngine:
                 nxt = {k: v[keep] for k, v in positions.items()}
                 nxt["left"], nxt["right"] = left[keep], right[keep]
             else:
-                nxt = self._intersect_native(cs, positions, ctx)
-                if nxt is None:
-                    pieces, ia, ib = iv.intersect_with_sorted(cs, positions)
-                    nxt = self._combine(pieces, cs, positions, ia, ib, ctx)
+                nxt = None
+                if cs["left"].size * self.JOIN_CS_RATIO < seg.count:
+                    nxt = self._scan_join(seg, cs, ctx)
+                if nxt is not None:
+                    ctx.stats.n_scans += 1
+                else:
+                    positions = self._scan(seg, ctx)
+                    ctx.stats.n_scans += 1
+                    nxt = self._intersect_native(cs, positions, ctx)
+                    if nxt is None:
+                        pieces, ia, ib = iv.intersect_with_sorted(cs, positions)
+                        nxt = self._combine(pieces, cs, positions, ia, ib, ctx)
 
             self._track_min_eps(nxt, ctx)
             cs = iv.merge_intervals(iv.shift(nxt, delta))
@@ -405,6 +438,7 @@ class BaseEngine:
                 est2 = (cost_a * n_disjoint +
                         cost_b * n_offsets / 1e5 * ctx.length +
                         qcfg.phase2_cost_intercept)
+                est2_now = est2
                 estimate = t1_ms + est2
                 if logger.isEnabledFor(logging.DEBUG):
                     logger.debug("estimate after segment %d: t1=%.1fms "

@@ -36,7 +36,7 @@ class NormQueryEngine(BaseEngine):
     payloads = ("eps", "ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta")
     # The host constraint prefilter makes the scattered path much cheaper than
     # raw traffic suggests; demand a bigger region advantage before switching.
-    REGION_MIN_AVG = 16.0
+    REGION_TRAFFIC_FUDGE = 8.0
     use_dtw_cost_model = True  # reference uses the DTW-fit coefficients here
                                # (NormQueryEngine.java:52-54)
 

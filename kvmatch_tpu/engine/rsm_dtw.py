@@ -31,12 +31,13 @@ class QueryEngineDtw(QueryEngine):
                 unit_sums(env_hi, self.icfg.unit), self._cost_batch(ctx))
 
     # ---------------------------------------------------------------- phase 1
-    def _scan(self, seg: QuerySegment, ctx: _Ctx):
+    def _probe_rows_eps(self, seg: QuerySegment, ctx: _Ctx):
         # Reset guard: a stale minimum epsilon above the budget would produce a
-        # negative range (QueryEngineDtw.java:210).
+        # negative range (QueryEngineDtw.java:210).  Placed here so both the
+        # scan and the fused join paths get it.
         if ctx.last_min_eps > ctx.eps2:
             ctx.last_min_eps = 0.0
-        return super()._scan(seg, ctx)
+        return super()._probe_rows_eps(seg, ctx)
 
     # ---------------------------------------------------------------- phase 2
     def _verify_multi(self, cand_ivs, ctxs):

@@ -65,10 +65,10 @@ class QueryEngine(BaseEngine):
         return sums, sums, self._cost_batch(ctx)
 
     # ---------------------------------------------------------------- phase 1
-    def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:
-        """Probe rows with key in [mean - range, mean + range]
-        (QueryEngine.java:199-202, 504-518); range shrinks with the best epsilon
-        lower bound accumulated so far."""
+    def _probe_rows_eps(self, seg: QuerySegment, ctx: _Ctx):
+        """Probed row range + per-row distance lower bound for a segment
+        (QueryEngine.java:199-202, 578-591); the probe range shrinks with the
+        best epsilon lower bound accumulated so far."""
         sc = self.index[seg.w]
         budget = max(ctx.eps2 - ctx.last_min_eps, 0.0)
         rng = math.sqrt(budget / seg.w) + self.icfg.probe_guard
@@ -76,13 +76,33 @@ class QueryEngine(BaseEngine):
         end = float(rounding.to_round(seg.mean_hi + rng, self.icfg.pos_of_d))
         rows = sc.probe_rows(begin, end)
         if rows.size == 0:
-            return iv.empty_set(("eps",))
+            return sc, rows, None
         lo, hi = self._row_bounds(sc, rows)
         # Distance lower bound per row: w * dist(query mean, [lo, hi])^2
-        # (getDistanceLowerBound, QueryEngine.java:578-591).
         delta = np.maximum(np.maximum(lo - seg.mean_hi, seg.mean_lo - hi), 0.0)
         eps_row = seg.w * delta * delta
+        return sc, rows, eps_row
+
+    def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:
+        """Probe rows with key in [mean - range, mean + range]
+        (QueryEngine.java:199-202, 504-518)."""
+        sc, rows, eps_row = self._probe_rows_eps(seg, ctx)
+        if rows.size == 0:
+            return iv.empty_set(("eps",))
         return self._scan_fill(sc, rows, ctx, {"eps": eps_row})
+
+    def _scan_join(self, seg: QuerySegment, cs, ctx: _Ctx):
+        """Fused scan+intersect via the position-sorted view: binary search per
+        CS interval instead of materializing the segment's (possibly 1e8+
+        interval) scan — O(|CS| log P).  None falls back to scan+intersect."""
+        from .. import native
+        sc, rows, eps_row = self._probe_rows_eps(seg, ctx)
+        if rows.size == 0:
+            return iv.empty_set(("eps",))
+        p_left, p_right, p_row = sc.pos_sorted()
+        return native.join_ed(cs, p_left, p_right, p_row,
+                              int(rows[0]), int(rows[-1]) + 1, eps_row,
+                              ctx.eps2, self.icfg.maximum_diff)
 
     def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
         eps_sum = a["eps"][ia] + b["eps"][ib]
@@ -138,20 +158,29 @@ class QueryEngine(BaseEngine):
         if not hasattr(self, "_c1_paa"):
             self._c1_paa = np.concatenate(([0.0], np.cumsum(self.data)))
         c1 = self._c1_paa
-        o = offsets[:, None] + np.arange(nblk)[None, :] * c
-        blk = (c1[o + c] - c1[o]) / c
         if env is not None:
             lo_blk, hi_blk = env
-            d = np.maximum(np.maximum(blk - hi_blk[None, :],
-                                      lo_blk[None, :] - blk), 0.0)
-            lb = c * np.sum(d * d, axis=1)
+            qb = None
         else:
             qb = ctx.params.get("_q_blk")
             if qb is None or qb.size != nblk:
                 qb = ctx.query[: nblk * c].reshape(nblk, c).mean(axis=1)
                 ctx.params["_q_blk"] = qb
-            d = blk - qb[None, :]
-            lb = c * np.sum(d * d, axis=1)
+        # Chunked: a dense candidate set (tens of millions of offsets at
+        # n=1e9) would otherwise materialize (B, nblk) temporaries of tens of
+        # GB; 1M-offset pieces keep the working set cache-friendly.
+        CHUNK = 1 << 20
+        cols = np.arange(nblk) * c
+        lb = np.empty(offsets.size)
+        for s in range(0, offsets.size, CHUNK):
+            o = offsets[s: s + CHUNK, None] + cols[None, :]
+            blk = (c1[o + c] - c1[o]) / c
+            if env is not None:
+                d = np.maximum(np.maximum(blk - hi_blk[None, :],
+                                          lo_blk[None, :] - blk), 0.0)
+            else:
+                d = blk - qb[None, :]
+            lb[s: s + CHUNK] = c * np.einsum("ij,ij->i", d, d)
         return offsets[lb <= thresh * (1.0 + 1e-9) + 1e-9]
 
     def _verify_multi(self, cand_ivs, ctxs):

@@ -95,6 +95,12 @@ def _build() -> ctypes.CDLL | None:
     lib.merge_rows.restype = ctypes.c_long
     lib.merge_rows.argtypes = [
         ctypes.c_long, P, P, P, P, P, P, P, P, P, P]
+    lib.join_ed.restype = ctypes.c_long
+    lib.join_ed.argtypes = [
+        ctypes.c_long, P, P, P,
+        ctypes.c_long, P, P, P,
+        ctypes.c_long, ctypes.c_long, P, ctypes.c_double, ctypes.c_long,
+        P, P, P]
     lib.scan_fill.restype = ctypes.c_long
     lib.scan_fill.argtypes = [
         ctypes.c_long, P, P, P,
@@ -312,6 +318,34 @@ def scan_fill(p_left, p_right, p_row, a: int, b: int, i0: int, i1: int,
         out.update(ex_lo=o_exlo[:k], ex2_lo=o_ex2lo[:k],
                    ex_up=o_exup[:k], ex2_up=o_ex2up[:k], beta=o_beta[:k])
     return out
+
+
+def join_ed(cs: dict, p_left, p_right, p_row, i0: int, i1: int,
+            row_eps, eps2: float, max_diff: int):
+    """Fused scan+intersect join of the running candidate set against the
+    probed rows' intervals via the position-sorted view (binary search per CS
+    interval — O(|CS| log P) instead of an O(P) walk).  Returns a cs-style
+    dict of ping-pong scratch VIEWS (same lifetime as intersect_ed) or None
+    when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ncs = int(cs["left"].size)
+    row_total = int(p_row.size)  # callers pass the full view; cap generously
+    cap = ncs + row_total
+    g = _PING["ied"] = 1 - _PING["ied"]
+    ol = _scratch(f"ied_l{g}", cap, np.int64)
+    orr = _scratch(f"ied_r{g}", cap, np.int64)
+    oe = _scratch(f"ied_e{g}", cap, np.float64)
+    a_l, a_r, a_e = _c64(cs["left"]), _c64(cs["right"]), _cf(cs["eps"])
+    pl, pr, prw = _c64(p_left), _c64(p_right), _c64(p_row)
+    re = _cf(row_eps)
+    k = lib.join_ed(ncs, a_l.ctypes.data, a_r.ctypes.data, a_e.ctypes.data,
+                    int(p_left.size), pl.ctypes.data, pr.ctypes.data,
+                    prw.ctypes.data, int(i0), int(i1), re.ctypes.data,
+                    float(eps2), int(max_diff),
+                    ol.ctypes.data, orr.ctypes.data, oe.ctypes.data)
+    return {"left": ol[:k], "right": orr[:k], "eps": oe[:k]}
 
 
 def merge_rows(row_start, row_end, left, right):

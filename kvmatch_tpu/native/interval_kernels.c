@@ -188,6 +188,52 @@ long scan_fill(
     return k;
 }
 
+/* Fused scan+intersect JOIN for the ED engines: instead of walking a scale's
+ * ENTIRE position-sorted view (O(P) — seconds per segment at n=1e9 when the
+ * running candidate set is scattered and ctx.span covers the whole series),
+ * binary-search the view once per CS interval and visit only locally
+ * overlapping index intervals: O(|CS| * (log P + local density)).
+ *
+ * Index intervals are at most `max_diff` positions wide (the builder's RLE
+ * cap, IndexNode.java:31), so lower_bound(pl, cl - max_diff) cannot skip an
+ * overlapping interval.  CS is sorted disjoint and pl is ascending, so the
+ * emitted pieces are sorted disjoint.  Emits eps-filtered pieces with
+ * es = cs_eps + row_eps[row - i0] (rows outside [i0, i1) are skipped).
+ * Output capacity: ncs + (# index intervals of rows [i0, i1)). */
+long join_ed(
+    long ncs, const int64_t *cl, const int64_t *cr, const double *ce,
+    long np_, const int64_t *pl, const int64_t *pr, const int64_t *prow,
+    long i0, long i1, const double *row_eps, double eps2, long max_diff,
+    int64_t *ol, int64_t *orr, double *oe)
+{
+    long k = 0;
+    long t0 = 0;  /* monotone: cs is sorted, so searches only move right */
+    for (long i = 0; i < ncs; i++) {
+        int64_t lo_key = cl[i] - max_diff;
+        /* lower_bound over pl[t0..np_) for lo_key */
+        long a = t0, b = np_;
+        while (a < b) {
+            long mid = (a + b) >> 1;
+            if (pl[mid] < lo_key) a = mid + 1; else b = mid;
+        }
+        /* back off: pl entries in [lo_key - ?]; a is first pl >= lo_key.
+         * intervals starting in [cl-max_diff, cl) may still overlap, so we
+         * must start from first pl >= cl - max_diff — that is `a`. */
+        for (long t = a; t < np_ && pl[t] <= cr[i]; t++) {
+            long r = prow[t];
+            if (r < i0 || r >= i1 || pr[t] < cl[i]) continue;
+            double es = ce[i] + row_eps[r - i0];
+            if (es > eps2) continue;
+            ol[k] = pl[t] > cl[i] ? pl[t] : cl[i];
+            orr[k] = pr[t] < cr[i] ? pr[t] : cr[i];
+            oe[k] = es;
+            k++;
+        }
+        t0 = a;
+    }
+    return k;
+}
+
 /* Exact float64 banded DTW (Sakoe-Chiba radius r) for a batch of candidate
  * windows — the host confirmation kernel (semantics of DtwUtils.dtw,
  * DtwUtils.java:269-337, without early abandon).  a: (nb, m) row-major windows,

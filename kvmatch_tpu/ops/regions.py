@@ -240,6 +240,26 @@ def region_znorm_near_multi(data: jnp.ndarray, queries_hat: jnp.ndarray,
         (flat % m_per_region).astype(jnp.int32)
 
 
+def coalesce_intervals(left: np.ndarray, right: np.ndarray, gap: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge sorted disjoint intervals whose gaps are <= ``gap``.
+
+    Dense candidate sets at large n often have millions of short intervals a
+    few positions apart; packing them one region per interval reads the
+    (M+L-1)-point region row for a handful of useful offsets.  Coalescing lets
+    one region serve many intervals — the FFT evaluates the gap offsets too,
+    but those were pruned by a SOUND phase-1 bound, so their true distance
+    exceeds epsilon and they can only add guard-band host rechecks, never
+    answers (exactness preserved by the float64 confirm)."""
+    if left.size <= 1:
+        return left, right
+    starts = np.empty(left.size, bool)
+    starts[0] = True
+    starts[1:] = left[1:] - right[:-1] - 1 > gap
+    first = np.flatnonzero(starts)
+    return left[first], np.maximum.reduceat(right, first)
+
+
 def pack_regions(left: np.ndarray, right: np.ndarray, n: int, length: int,
                  m_per_region: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Split candidate intervals into fixed-M region rows.

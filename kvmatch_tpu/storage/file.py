@@ -145,7 +145,7 @@ class IndexNpzStore:
     def __init__(self, path: str | os.PathLike):
         self.path = Path(path)
 
-    def save(self, index: Index) -> None:
+    def save(self, index: Index, compress: bool = False) -> None:
         self.path.parent.mkdir(parents=True, exist_ok=True)
         payload: Dict[str, np.ndarray] = {}
         for w, sc in index.items():
@@ -158,7 +158,13 @@ class IndexNpzStore:
             payload[p + "cum_offsets"] = sc.cum_offsets
             payload[p + "meta"] = np.array([sc.n, sc.w], np.int64)
             payload[p + "upper"] = np.array([sc.mean_upper_bound])
-        np.savez_compressed(self.path, **payload)
+        # Uncompressed by default: this is the FAST path (zlib on a 24 GB
+        # n=1e9 index is an hour of single-core time; the reference-layout
+        # IndexFileStore with the compact interval codec is the small one).
+        if compress:
+            np.savez_compressed(self.path, **payload)
+        else:
+            np.savez(self.path, **payload)
 
     def load(self) -> Index:
         z = np.load(self.path)

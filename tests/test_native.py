@@ -214,3 +214,29 @@ def test_merge_rows_unit():
     rep = np.repeat(np.arange(7), np.diff([0] + row_end) if False else
                     (np.array(row_end) - np.array(row_start)))
     assert np.array_equal(grow, rep[order])
+
+
+def test_join_path_matches_scan_intersect():
+    """Forcing the fused join for every post-first segment yields the same
+    answers and candidate intervals as the scan+intersect path."""
+    if native.get_lib() is None:
+        pytest.skip("native unavailable")
+    from kvmatch_tpu.engine.rsm_ed import QueryEngine
+    from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    rng = np.random.default_rng(9)
+    data = np.cumsum(rng.standard_normal(60_000)) * 0.3
+    idx = build_index_numpy(data)
+    for cls, params in ((QueryEngine, {}), (QueryEngineDtw, {"rho": 12})):
+        eng = cls(data, index=idx, icfg=IndexConfig())
+        for off, L, eps in [(1234, 512, 6.0), (30000, 1024, 10.0),
+                            (5555, 256, 3.0)]:
+            q = data[off:off + L]
+            eng.JOIN_CS_RATIO = 10**18     # 'cs*ratio < count' never true: scan+intersect
+            base_res = eng.query(q, eps, **params)
+            eng.JOIN_CS_RATIO = 0          # '0 < count' whenever count > 0: join forced
+            join_res = eng.query(q, eps, **params)
+            assert set(base_res.offsets.tolist()) == set(join_res.offsets.tolist())
+            assert off in join_res.offsets.tolist()
+        eng.JOIN_CS_RATIO = type(eng).JOIN_CS_RATIO
