@@ -161,16 +161,17 @@ class NormQueryEngine(BaseEngine):
         return sums, sums, self._cost_batch(ctx)
 
     # ---------------------------------------------------------------- phase 1
-    def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:
+    def _probe_rows_payloads(self, seg: QuerySegment, ctx: _Ctx):
+        """Probed row range + the six per-row payload columns (z-space eps
+        bound, Ex/Ex2 tracks, beta bitmask) shared by the scan and join paths."""
         sc = self.index[seg.w]
         guard = self.icfg.probe_guard
         b, e = self._probe_bounds(seg.mean_lo, seg.mean_hi, seg.w, ctx)
         begin = float(rounding.snap_down(b - guard, sc.keys, self.icfg.pos_of_d))
         end = float(rounding.to_round(e + guard, self.icfg.pos_of_d))
         rows = sc.probe_rows(begin, end)
-        cols = ("ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta")
         if rows.size == 0:
-            return iv.empty_set(cols)
+            return sc, rows, None
         lo, hi = self._row_bounds(sc, rows)
         k_units = seg.w // self.icfg.unit
         # Z-space epsilon lower bound per row (NOT in the reference, which carries
@@ -211,9 +212,33 @@ class NormQueryEngine(BaseEngine):
         inside = (pb[None, :] <= key[:, None]) & (key[:, None] <= pe[None, :])
         bits = (inside.astype(np.uint64) << np.arange(pb.size, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64)
-        return self._scan_fill(sc, rows, ctx, {
+        return sc, rows, {
             "eps": eps_row, "ex_lo": ex_lo, "ex2_lo": ex2_lo,
-            "ex_up": ex_up, "ex2_up": ex2_up, "beta": bits})
+            "ex_up": ex_up, "ex2_up": ex2_up, "beta": bits}
+
+    def _scan(self, seg: QuerySegment, ctx: _Ctx) -> Dict[str, np.ndarray]:
+        sc, rows, payloads = self._probe_rows_payloads(seg, ctx)
+        if rows.size == 0:
+            return iv.empty_set(("ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta"))
+        return self._scan_fill(sc, rows, ctx, payloads)
+
+    def _scan_join(self, seg: QuerySegment, cs, ctx: _Ctx):
+        """Fused cNSM scan+intersect via the position-sorted view
+        (native.join_norm); None falls back to scan+intersect."""
+        from .. import native
+        sc, rows, payloads = self._probe_rows_payloads(seg, ctx)
+        if rows.size == 0:
+            return iv.empty_set(("ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta"))
+        p_left, p_right, p_row = sc.pos_sorted()
+        return native.join_norm(
+            cs, p_left, p_right, p_row, int(rows[0]), int(rows[-1]) + 1,
+            payloads, ctx.eps2,
+            use_beta=self.qcfg.enable_beta_partition,
+            use_std=self.qcfg.enable_std_filter,
+            unit=self.icfg.unit, qlen=ctx.length, p_units=ctx.processed_units,
+            alpha=ctx.params["alpha"], beta=ctx.params["beta"],
+            mu_q=ctx.params["_mu_q"], sd_q=ctx.params["_sd_q"],
+            max_diff=self.icfg.maximum_diff)
 
     def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
         eps_sum = a["eps"][ia] + b["eps"][ib]

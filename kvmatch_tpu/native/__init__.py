@@ -101,6 +101,17 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_long, P, P, P,
         ctypes.c_long, ctypes.c_long, P, ctypes.c_double, ctypes.c_long,
         P, P, P]
+    lib.join_norm.restype = ctypes.c_long
+    lib.join_norm.argtypes = [
+        ctypes.c_long, P, P, P, P, P, P, P, P,
+        ctypes.c_long, P, P, P,
+        ctypes.c_long, ctypes.c_long,
+        P, P, P, P, P, P,
+        ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_long,
+        P, P, P, P, P, P, P, P]
     lib.scan_fill.restype = ctypes.c_long
     lib.scan_fill.argtypes = [
         ctypes.c_long, P, P, P,
@@ -346,6 +357,45 @@ def join_ed(cs: dict, p_left, p_right, p_row, i0: int, i1: int,
                     float(eps2), int(max_diff),
                     ol.ctypes.data, orr.ctypes.data, oe.ctypes.data)
     return {"left": ol[:k], "right": orr[:k], "eps": oe[:k]}
+
+
+_NORM_COLS = ("left", "right", "eps", "ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta")
+
+
+def join_norm(cs: dict, p_left, p_right, p_row, i0: int, i1: int,
+              row_payloads: dict, eps2: float, use_beta: bool, use_std: bool,
+              unit: int, qlen: int, p_units: int,
+              alpha: float, beta: float, mu_q: float, sd_q: float,
+              max_diff: int):
+    """cNSM fused scan+intersect join (see join_ed); returns a cs-style dict
+    of ping-pong scratch VIEWS or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ncs = int(cs["left"].size)
+    cap = ncs + int(p_row.size)
+    g = _PING["inorm"] = 1 - _PING["inorm"]
+    out = {name: _scratch(f"inorm{g}_{name}", cap,
+                          np.uint64 if name == "beta" else
+                          (np.int64 if name in ("left", "right") else np.float64))
+           for name in _NORM_COLS}
+    c_in = [np.ascontiguousarray(cs[c], np.uint64) if c == "beta" else
+            (_c64(cs[c]) if c in ("left", "right") else _cf(cs[c])) for c in _NORM_COLS]
+    pl, pr, prw = _c64(p_left), _c64(p_right), _c64(p_row)
+    r_in = [_cf(row_payloads["eps"]), _cf(row_payloads["ex_lo"]),
+            _cf(row_payloads["ex2_lo"]), _cf(row_payloads["ex_up"]),
+            _cf(row_payloads["ex2_up"]),
+            np.ascontiguousarray(row_payloads["beta"], np.uint64)]
+    k = lib.join_norm(
+        ncs, *(a.ctypes.data for a in c_in),
+        int(p_left.size), pl.ctypes.data, pr.ctypes.data, prw.ctypes.data,
+        int(i0), int(i1),
+        *(a.ctypes.data for a in r_in),
+        eps2, int(use_beta), int(use_std),
+        float(unit), float(qlen), float(p_units),
+        alpha, beta, mu_q, sd_q, int(max_diff),
+        *(out[c].ctypes.data for c in _NORM_COLS))
+    return {name: a[:k] for name, a in out.items()}
 
 
 def merge_rows(row_start, row_end, left, right):

@@ -46,6 +46,46 @@ long intersect_ed(
  * in both directions (when use_std; NormQueryEngine.java:354-382,
  * NormQueryEngineDtw.java:370-389 with our conservative bound tracks).
  * p_units = unit windows covered so far INCLUDING this segment. */
+/* Shared std-filter for the norm combine steps (NormQueryEngine.java:354-382,
+ * NormQueryEngineDtw.java:370-389 with our conservative bound tracks).
+ * Returns 0 when the piece can be pruned. */
+static int norm_std_keep(double exlo, double ex2lo, double exup,
+                         double unit, double qlen, double p_units,
+                         double rest, double limit, double mu_q, double beta)
+{
+    if (rest > 0) {
+        double mean_lo = exlo / p_units;
+        if (mean_lo > mu_q + beta) {
+            double nv = mu_q + beta -
+                (mean_lo - mu_q - beta) * p_units * unit / rest;
+            double var2 = (ex2lo * unit + rest * nv * nv) / qlen -
+                (mu_q + beta) * (mu_q + beta);
+            if (var2 > limit) return 0;
+        }
+        double mean_up = exup / p_units;
+        if (mean_up < mu_q - beta) {
+            double nv = mu_q - beta +
+                (mu_q - beta - mean_up) * p_units * unit / rest;
+            double var2 = (ex2lo * unit + rest * nv * nv) / qlen -
+                (mu_q - beta) * (mu_q - beta);
+            if (var2 > limit) return 0;
+        }
+    } else {
+        double mean_lo = exlo / p_units;
+        double mean_up = exup / p_units;
+        double var_lb = 0.0;
+        if (mean_up < mu_q - beta) {
+            double d = mu_q - beta - mean_up;
+            var_lb = d * d;
+        } else if (mean_lo > mu_q + beta) {
+            double d = mean_lo - mu_q - beta;
+            var_lb = d * d;
+        }
+        if (var_lb > limit) return 0;
+    }
+    return 1;
+}
+
 long intersect_norm(
     long na, const int64_t *al, const int64_t *ar, const double *ae,
     const double *a_exlo, const double *a_ex2lo,
@@ -76,40 +116,9 @@ long intersect_norm(
         double ex2lo = a_ex2lo[i] + b_ex2lo[j];
         double exup = a_exup[i] + b_exup[j];
         double ex2up = a_ex2up[i] + b_ex2up[j];
-        if (keep && use_std) {
-            if (rest > 0) {
-                double mean_lo = exlo / p_units;
-                if (mean_lo > mu_q + beta) {
-                    double nv = mu_q + beta -
-                        (mean_lo - mu_q - beta) * p_units * unit / rest;
-                    double var2 = (ex2lo * unit + rest * nv * nv) / qlen -
-                        (mu_q + beta) * (mu_q + beta);
-                    if (var2 > limit) keep = 0;
-                }
-                if (keep) {
-                    double mean_up = exup / p_units;
-                    if (mean_up < mu_q - beta) {
-                        double nv = mu_q - beta +
-                            (mu_q - beta - mean_up) * p_units * unit / rest;
-                        double var2 = (ex2lo * unit + rest * nv * nv) / qlen -
-                            (mu_q - beta) * (mu_q - beta);
-                        if (var2 > limit) keep = 0;
-                    }
-                }
-            } else {
-                double mean_lo = exlo / p_units;
-                double mean_up = exup / p_units;
-                double var_lb = 0.0;
-                if (mean_up < mu_q - beta) {
-                    double d = mu_q - beta - mean_up;
-                    var_lb = d * d;
-                } else if (mean_lo > mu_q + beta) {
-                    double d = mean_lo - mu_q - beta;
-                    var_lb = d * d;
-                }
-                if (var_lb > limit) keep = 0;
-            }
-        }
+        if (keep && use_std)
+            keep = norm_std_keep(exlo, ex2lo, exup, unit, qlen, p_units,
+                                 rest, limit, mu_q, beta);
 
         if (keep) {
             ol[k] = al[i] > bl[j] ? al[i] : bl[j];
@@ -123,6 +132,66 @@ long intersect_norm(
             k++;
         }
         if (ar[i] < br[j]) i++; else j++;
+    }
+    return k;
+}
+
+/* Fused scan+intersect join for the cNSM engines (see join_ed): binary search
+ * the position-sorted view per CS interval, combine per-row payloads with the
+ * same eps/beta/std filters as intersect_norm.  Row payload arrays are
+ * indexed by (row - i0). */
+long join_norm(
+    long ncs, const int64_t *cl, const int64_t *cr, const double *ce,
+    const double *c_exlo, const double *c_ex2lo,
+    const double *c_exup, const double *c_ex2up, const uint64_t *c_beta,
+    long np_, const int64_t *pl, const int64_t *pr, const int64_t *prow,
+    long i0, long i1,
+    const double *row_eps, const double *row_exlo, const double *row_ex2lo,
+    const double *row_exup, const double *row_ex2up, const uint64_t *row_beta,
+    double eps2, int use_beta, int use_std,
+    double unit, double qlen, double p_units,
+    double alpha, double beta, double mu_q, double sd_q, long max_diff,
+    int64_t *ol, int64_t *orr, double *oe,
+    double *o_exlo, double *o_ex2lo, double *o_exup, double *o_ex2up,
+    uint64_t *o_beta)
+{
+    long k = 0;
+    long t0 = 0;
+    double limit = alpha * alpha * sd_q * sd_q + 1e-12;
+    double rest = qlen - p_units * unit;
+    for (long i = 0; i < ncs; i++) {
+        int64_t lo_key = cl[i] - max_diff;
+        long a = t0, b = np_;
+        while (a < b) {
+            long mid = (a + b) >> 1;
+            if (pl[mid] < lo_key) a = mid + 1; else b = mid;
+        }
+        for (long t = a; t < np_ && pl[t] <= cr[i]; t++) {
+            long r = prow[t];
+            if (r < i0 || r >= i1 || pr[t] < cl[i]) continue;
+            long ri = r - i0;
+            double es = ce[i] + row_eps[ri];
+            if (es > eps2) continue;
+            uint64_t bits = c_beta[i] & row_beta[ri];
+            if (use_beta && bits == 0) continue;
+            double exlo = c_exlo[i] + row_exlo[ri];
+            double ex2lo = c_ex2lo[i] + row_ex2lo[ri];
+            double exup = c_exup[i] + row_exup[ri];
+            double ex2up = c_ex2up[i] + row_ex2up[ri];
+            if (use_std && !norm_std_keep(exlo, ex2lo, exup, unit, qlen,
+                                          p_units, rest, limit, mu_q, beta))
+                continue;
+            ol[k] = pl[t] > cl[i] ? pl[t] : cl[i];
+            orr[k] = pr[t] < cr[i] ? pr[t] : cr[i];
+            oe[k] = es;
+            o_exlo[k] = exlo;
+            o_ex2lo[k] = ex2lo;
+            o_exup[k] = exup;
+            o_ex2up[k] = ex2up;
+            o_beta[k] = bits;
+            k++;
+        }
+        t0 = a;
     }
     return k;
 }

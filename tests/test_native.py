@@ -240,3 +240,28 @@ def test_join_path_matches_scan_intersect():
             assert set(base_res.offsets.tolist()) == set(join_res.offsets.tolist())
             assert off in join_res.offsets.tolist()
         eng.JOIN_CS_RATIO = type(eng).JOIN_CS_RATIO
+
+
+def test_join_norm_path_matches_scan_intersect():
+    """Forcing the fused cNSM join yields the same answers as scan+intersect."""
+    if native.get_lib() is None:
+        pytest.skip("native unavailable")
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    rng = np.random.default_rng(13)
+    data = np.cumsum(rng.standard_normal(60_000)) * 0.3
+    idx = build_index_numpy(data)
+    for cls, params in ((NormQueryEngine, {}),
+                        (NormQueryEngineDtw, {"rho": 12})):
+        eng = cls(data, index=idx, icfg=IndexConfig())
+        for off, L, eps in [(1234, 512, 4.0), (30000, 1024, 6.0)]:
+            q = data[off:off + L]
+            eng.JOIN_CS_RATIO = 10**18     # scan+intersect
+            base_res = eng.query(q, eps, alpha=1.3, beta=8.0, **params)
+            eng.JOIN_CS_RATIO = 0          # join forced
+            join_res = eng.query(q, eps, alpha=1.3, beta=8.0, **params)
+            assert set(base_res.offsets.tolist()) == set(join_res.offsets.tolist())
+            assert off in join_res.offsets.tolist()
+        eng.JOIN_CS_RATIO = type(eng).JOIN_CS_RATIO
