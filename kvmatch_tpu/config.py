@@ -88,6 +88,14 @@ class QueryConfig:
     # loosens the candidate set; phase 2 is exact.  The constant is host
     # C-kernel throughput (~40M intervals/s measured on this 1-core box).
     phase1_scan_cost_ms_per_interval: float = 2.5e-5
+    # Dense-query routing: when even the most selective plan segment holds
+    # more than this many index intervals, the host interval algebra would
+    # churn through 1e8-interval intermediates (minutes at n=1e9 on this
+    # host); phase 1 instead runs as the DEVICE dense probe — the accumulated
+    # bound evaluated elementwise over every position (no intermediates at
+    # all), with bucket ids recomputed on the fly from the f32 series.
+    # None disables the route (host phase 1 always).
+    dense_probe_min_count: int | None = 2_000_000
     # Normalized-engine extras (NormQueryEngine.java:57-60).
     enable_std_filter: bool = True
     enable_beta_partition: bool = True

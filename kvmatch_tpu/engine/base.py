@@ -456,6 +456,84 @@ class BaseEngine:
         ctx.stats.t_phase1_ms = (time.perf_counter() - t0) * 1e3
         return cs, last_segment
 
+    # ------------------------------------------------- dense-on-device phase 1
+    DENSE_PROBE_K = 1 << 20  # exact candidate capacity of the fly probe
+
+    def _dense_route(self, segments) -> bool:
+        """True when phase 1 should run as the device dense probe: even the
+        most selective plan segment is dense enough that host interval algebra
+        would churn through 1e8-interval intermediates."""
+        cutoff = self.qcfg.dense_probe_min_count
+        return (cutoff is not None and bool(segments)
+                and min(s.count for s in segments) > cutoff)
+
+    def _fly_padded_dev(self, length: int):
+        """Lazily cached right-padded f32 series for the on-the-fly probe."""
+        import jax.numpy as jnp
+        from ..parallel.query import FLY_FILL, fly_pad_for
+        w_max = max(self.icfg.scales)
+        pad = fly_pad_for(length, w_max)
+        cur = getattr(self, "_fly_data", None)
+        if cur is None or cur[0] < pad:
+            self._fly_data = (pad, jnp.concatenate(
+                [self.data_dev, jnp.full(pad, FLY_FILL, jnp.float32)]))
+        return self._fly_data[1]
+
+    def _device_dense_phase1(self, ctxs, seg_lists):
+        """Run the fly dense probe for a same-length query group; returns
+        (counts i32[Q], positions i32[Q, K] position-ordered)."""
+        import jax.numpy as jnp
+        from ..parallel.query import (make_dense_probe_step_fly,
+                                      pack_segments_batch)
+        L = ctxs[0].length
+        norm = "alpha" in ctxs[0].params
+        if not hasattr(self, "_fly_steps"):
+            self._fly_steps = {}
+        key = (L, norm, len(ctxs))
+        if key not in self._fly_steps:
+            self._fly_steps[key] = make_dense_probe_step_fly(
+                self.icfg, L, cand_k=self.DENSE_PROBE_K, norm=norm)
+        step = self._fly_steps[key]
+        data_p = self._fly_padded_dev(L)
+        segs = pack_segments_batch(seg_lists, tuple(self.icfg.scales))
+        eps2 = jnp.asarray([c.eps2 for c in ctxs], jnp.float32)
+        if norm:
+            cons = jnp.asarray([[c.params["alpha"], c.params["beta"],
+                                 c.params["_mu_q"], c.params["_sd_q"]]
+                                for c in ctxs], jnp.float32)
+        else:
+            cons = jnp.zeros((len(ctxs), 4), jnp.float32)
+        counts, positions = step(data_p, segs, eps2, cons, jnp.int32(self.n))
+        return np.asarray(counts), np.asarray(positions)
+
+    @staticmethod
+    def _positions_to_intervals(offs: np.ndarray):
+        """Compress sorted candidate positions into (left, right) runs."""
+        if offs.size == 0:
+            e = np.empty(0, np.int64)
+            return e, e
+        offs = offs.astype(np.int64)
+        breaks = np.flatnonzero(np.diff(offs) > 1)
+        left = offs[np.concatenate(([0], breaks + 1))]
+        right = offs[np.concatenate((breaks, [offs.size - 1]))]
+        return left, right
+
+    def _phase1_routed(self, segments, ctx: _Ctx):
+        """Host phase 1, or the device dense probe for dense plans.  Returns
+        (c_left, c_right) candidate intervals in the global (query-start)
+        frame."""
+        if self._dense_route(segments):
+            t0 = time.perf_counter()
+            counts, positions = self._device_dense_phase1([ctx], [segments])
+            if counts[0] <= self.DENSE_PROBE_K:
+                ctx.stats.t_phase1_ms = (time.perf_counter() - t0) * 1e3
+                ctx.stats.n_scans = len(segments)
+                ctx.stats.n_segments_used = len(segments)
+                return self._positions_to_intervals(positions[0][: counts[0]])
+            # overflow: exact fallback through the host path
+        cs, last_segment = self._phase1(segments, ctx)
+        return self._candidate_intervals(cs, last_segment, ctx.length)
+
     # ------------------------------------------------------------------ driver
     def query(self, query: np.ndarray, epsilon: float, **params) -> QueryResult:
         query = np.asarray(query, np.float64)
@@ -472,10 +550,9 @@ class BaseEngine:
         t0 = time.perf_counter()
 
         segments = self._plan(ctx)
-        cs, last_segment = self._phase1(segments, ctx)
+        c_l, c_r = self._phase1_routed(segments, ctx)
 
         t2 = time.perf_counter()
-        c_l, c_r = self._candidate_intervals(cs, last_segment, ctx.length)
         stats.n_candidates = int(np.sum(c_r - c_l + 1)) if c_l.size else 0
         stats.n_disjoint = int(c_l.size)
         if c_l.size:
@@ -598,10 +675,29 @@ class BaseEngine:
                              epsilon=float(eps[qi]), eps2=float(eps[qi]) ** 2,
                              params=dict(params), stats=QueryStats()))
         seg_lists = self._plan_batch(ctxs)
+        # Dense plans run the device probe as ONE batched program; the rest
+        # (and any probe overflowing its candidate capacity) take host phase 1.
+        dense_q = [qi for qi in range(nq) if self._dense_route(seg_lists[qi])]
+        dense_res: dict = {}
+        if dense_q:
+            t0d = time.perf_counter()
+            counts, positions = self._device_dense_phase1(
+                [ctxs[qi] for qi in dense_q], [seg_lists[qi] for qi in dense_q])
+            dt = (time.perf_counter() - t0d) * 1e3 / len(dense_q)
+            for j, qi in enumerate(dense_q):
+                if counts[j] <= self.DENSE_PROBE_K:
+                    ctxs[qi].stats.t_phase1_ms = dt
+                    ctxs[qi].stats.n_scans = len(seg_lists[qi])
+                    ctxs[qi].stats.n_segments_used = len(seg_lists[qi])
+                    dense_res[qi] = self._positions_to_intervals(
+                        positions[j][: counts[j]])
         for qi in range(nq):
             ctx = ctxs[qi]
-            cs, last_segment = self._phase1(seg_lists[qi], ctx)
-            c_l, c_r = self._candidate_intervals(cs, last_segment, ctx.length)
+            if qi in dense_res:
+                c_l, c_r = dense_res[qi]
+            else:
+                cs, last_segment = self._phase1(seg_lists[qi], ctx)
+                c_l, c_r = self._candidate_intervals(cs, last_segment, ctx.length)
             ctx.stats.n_candidates = int(np.sum(c_r - c_l + 1)) if c_l.size else 0
             ctx.stats.n_disjoint = int(c_l.size)
             cand_ivs.append((c_l, c_r))

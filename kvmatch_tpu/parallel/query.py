@@ -318,6 +318,86 @@ def make_dense_probe_step_batched(icfg: IndexConfig, length: int,
     return jax.jit(step)
 
 
+# Padding fill for the on-the-fly probe's data copy: window means over the
+# fill land in an astronomically distant key cell (bucket ~2e7, still int32),
+# so padded positions prune themselves; they are also masked by pos < m.
+FLY_FILL = np.float32(1e7)
+
+
+def fly_pad_for(length: int, w_max: int) -> int:
+    """Right padding the on-the-fly probe needs on its data copy: the maximum
+    block size any batch can pick, plus the segment-shift and window halos
+    (independent of n/Q so the padded copy serves every batch size)."""
+    return PROBE_BLOCK_MAX + max(length, 8192) + w_max
+
+
+def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
+                              cand_k: int = 1 << 20, norm: bool = False,
+                              scales: Tuple[int, ...] | None = None):
+    """Blocked dense phase 1 computing bucket ids ON THE FLY from the series.
+
+    Unlike make_dense_probe_step_batched this needs NO precomputed bucket
+    stack — each position block recomputes its (S, blk+L) bucket window from
+    the f32 data via the doubling window-sum kernels (ops/sliding), so the
+    device holds O(data) instead of O(S * n) (20 GB at n=1e9).  Candidates
+    are collected by ORDERED COMPACTION (cumsum + scatter), not top-K: the
+    output lists every masked position in position order up to ``cand_k``,
+    with counts flagging overflow.  O(Q * n) scatter work — same order as the
+    probe itself — where a 1M-wide top-k merge per block would sort-dominate.
+
+    Args: (data_padded f32[n + fly_pad_for(...)], segs DenseSegments (leading
+    Q), eps2 f32[Q], cons f32[Q, 4], n_total i32) ->
+    (counts i32[Q], positions i32[Q, K] position-ordered, first counts valid).
+    """
+    from ..ops.sliding import build_buckets
+
+    scales = scales or tuple(icfg.scales)
+    w_max = max(scales)
+    unit = icfg.unit
+    slack = np.float32(icfg.probe_guard)
+
+    def step(data_padded, segs: DenseSegments, eps2, cons, n_total):
+        Q = eps2.shape[0]
+        npad = data_padded.shape[0]
+        n_hi = npad - fly_pad_for(length, w_max)  # >= true n; bounds the loop
+        blk = min(probe_block_for(npad, Q), PROBE_BLOCK_MAX)
+        nb = -(-max(n_hi, 1) // blk)
+        m = n_total - length + 1
+        K = cand_k
+
+        def probe_one(bwin, sg, c):
+            if norm:
+                return _dense_probe_norm(bwin, sg, unit, icfg.d, blk, slack,
+                                         c[0], c[1], c[2], c[3], length)
+            return _dense_probe(bwin, sg, unit, icfg.d, blk, slack)
+
+        def body(b, carry):
+            counts, out = carry
+            p0 = b * blk
+            need = blk + length + w_max
+            piece = jax.lax.dynamic_slice(data_padded, (p0,), (need,))
+            bk = build_buckets(piece, scales, icfg.pos_of_d)
+            # every scale yields need - w + 1 >= blk + length + 1 ids: truncate
+            bwin = jnp.stack([bk[w][: blk + length] for w in scales])
+            eps_acc = jax.vmap(lambda sg, c: probe_one(bwin, sg, c))(segs, cons)
+            pos = p0 + jnp.arange(blk, dtype=jnp.int32)
+            mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
+            local = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+            dest = counts[:, None] + local
+            dest = jnp.where(mask & (dest < K), dest, K)  # K = dumpster slot
+            out = out.at[jnp.arange(Q)[:, None], dest].set(
+                jnp.broadcast_to(pos[None, :], (Q, blk)), mode="drop")
+            counts = counts + jnp.sum(mask.astype(jnp.int32), axis=1)
+            return counts, out
+
+        carry0 = (jnp.zeros(Q, jnp.int32),
+                  jnp.zeros((Q, K + 1), jnp.int32))
+        counts, out = jax.lax.fori_loop(0, nb, body, carry0)
+        return counts, out[:, :K]
+
+    return jax.jit(step, static_argnames=())
+
+
 def make_dense_query_step_norm_batched(icfg: IndexConfig, length: int,
                                        top_k: int = 2048,
                                        scales: Tuple[int, ...] | None = None):

@@ -1,0 +1,66 @@
+"""Dense-on-device phase 1 (fly probe) vs host phase 1: identical answers.
+
+The fly probe recomputes bucket ids from the f32 series per position block and
+collects candidates by ordered compaction; forcing the route (cutoff=0) on
+small CPU fixtures exercises it end-to-end for all four engines."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from kvmatch_tpu.config import IndexConfig, QueryConfig
+from kvmatch_tpu.data.generators import generate_series
+from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+from kvmatch_tpu.engine.rsm_ed import QueryEngine
+from kvmatch_tpu.index.build import build_index_numpy
+
+N = 50_000
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = generate_series(N, seed=23)
+    return data, build_index_numpy(data, IndexConfig())
+
+
+CASES = [
+    (QueryEngine, {}, [(2000, 512, 5.0), (31000, 1024, 9.0)]),
+    (QueryEngineDtw, {"rho": 25}, [(2000, 512, 5.0)]),
+    (NormQueryEngine, {"alpha": 1.3, "beta": 8.0}, [(7000, 512, 4.0)]),
+    (NormQueryEngineDtw, {"alpha": 1.3, "beta": 8.0, "rho": 25},
+     [(7000, 512, 3.0)]),
+]
+
+
+@pytest.mark.parametrize("cls,params,cases", CASES)
+def test_dense_route_matches_host(setup, cls, params, cases):
+    data, idx = setup
+    host_cfg = QueryConfig(dense_probe_min_count=None)
+    dense_cfg = QueryConfig(dense_probe_min_count=0)
+    eh = cls(data, index=idx, icfg=IndexConfig(), qcfg=host_cfg)
+    ed = cls(data, index=idx, icfg=IndexConfig(), qcfg=dense_cfg)
+    for off, L, eps in cases:
+        q = data[off:off + L]
+        rh = eh.query(q, eps, **params)
+        rd = ed.query(q, eps, **params)
+        assert set(rh.offsets.tolist()) == set(rd.offsets.tolist())
+        assert off in rd.offsets.tolist()
+
+
+def test_dense_route_batch_matches_host(setup):
+    data, idx = setup
+    L = 512
+    offs = [1000, 9000, 25000, 40000]
+    queries = np.stack([data[o:o + L] for o in offs])
+    eh = QueryEngine(data, index=idx, icfg=IndexConfig(),
+                     qcfg=QueryConfig(dense_probe_min_count=None))
+    ed = QueryEngine(data, index=idx, icfg=IndexConfig(),
+                     qcfg=QueryConfig(dense_probe_min_count=0))
+    rh = eh.query_batch(queries, 6.0)
+    rd = ed.query_batch(queries, 6.0)
+    for o, a, b in zip(offs, rh, rd):
+        assert set(a.offsets.tolist()) == set(b.offsets.tolist())
+        assert o in b.offsets.tolist()
