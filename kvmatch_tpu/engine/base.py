@@ -568,54 +568,15 @@ class BaseEngine:
         return QueryResult(offsets=ans_off, distances=ans_dist, stats=stats)
 
     # ------------------------------------------------ device-probe batched driver
-    def _bucket_stack_dev(self, max_len: int):
-        """Lazily (re)build + upload the dense bucket stack for device probes.
-        Columns are padded for the blocked probe's worst-case last block
-        (parallel/query.probe_stack_extra)."""
-        import jax.numpy as jnp
-        from ..index.build import compute_buckets_tpu
-        from ..parallel.query import pack_bucket_stack, probe_stack_extra
-        cur = getattr(self, "_bstack", None)
-        if cur is None or cur[0] < max_len:
-            buckets = compute_buckets_tpu(self.data, self.icfg)
-            stack = pack_bucket_stack(buckets, tuple(self.icfg.scales),
-                                      self.n, probe_stack_extra(self.n, max_len))
-            self._bstack = (max_len, jnp.asarray(stack))
-        return self._bstack[1]
-
-    def _device_phase1_batched(self, ctxs, seg_lists, norm: bool, top_k: int):
-        """Run phase 1 for a query batch as one dense jit program; returns
-        (counts, idx) per query (idx ranked by smallest accumulated bound)."""
-        import jax.numpy as jnp
-        from ..parallel.query import (make_dense_probe_step_batched,
-                                      pack_segments_batch)
-        L = ctxs[0].length
-        segs = pack_segments_batch(seg_lists, tuple(self.icfg.scales))
-        stack = self._bucket_stack_dev(max(L, 8192))
-        if not hasattr(self, "_probe_steps"):
-            self._probe_steps = {}
-        key = (L, top_k, norm)
-        if key not in self._probe_steps:
-            self._probe_steps[key] = make_dense_probe_step_batched(
-                self.icfg, L, top_k=top_k, norm=norm)
-        step = self._probe_steps[key]
-        eps2 = jnp.asarray([c.eps2 for c in ctxs], jnp.float32)
-        if norm:
-            cons = jnp.asarray([[c.params["alpha"], c.params["beta"],
-                                 c.params["_mu_q"], c.params["_sd_q"]]
-                                for c in ctxs], jnp.float32)
-        else:
-            cons = jnp.zeros((len(ctxs), 4), jnp.float32)
-        counts, idx = step(self.data_dev, stack, segs, eps2, cons)
-        return np.asarray(counts), np.asarray(idx)
-
     def query_batch_device(self, queries: np.ndarray, epsilon,
                            top_k: int = 4096, **params):
-        """Batched querying with PHASE 1 ON DEVICE: the dense probe evaluates all
-        segments against the raw bucket stack as one fused program and hands each
-        query's top-K candidates to the engine's normal batched verification.
-        Queries that overflow ``top_k`` candidates transparently rerun through
-        the exact host phase-1 path, so results are always complete."""
+        """Batched querying with PHASE 1 ON DEVICE for every query: the fly
+        dense probe (on-the-fly bucket windows, ordered compaction — no
+        (S, n) stack upload) hands each query's candidates to the engine's
+        normal batched verification.  Queries that overflow the candidate
+        capacity transparently rerun through the exact host phase-1 path, so
+        results are always complete.  ``top_k`` is kept for API compatibility;
+        capacity is max(top_k, DENSE_PROBE_K)."""
         import time as _time
         queries = np.atleast_2d(np.asarray(queries, np.float64))
         nq, L = queries.shape
@@ -627,25 +588,17 @@ class BaseEngine:
                              eps2=float(eps[qi]) ** 2, params=dict(params),
                              stats=QueryStats()))
         seg_lists = self._plan_batch(ctxs)
-        counts, idx = self._device_phase1_batched(
-            ctxs, seg_lists, norm="alpha" in params, top_k=top_k)
+        counts, positions = self._device_dense_phase1(ctxs, seg_lists)
 
         cand_ivs = []
         for qi, ctx in enumerate(ctxs):
             ctx.stats.n_candidates = int(counts[qi])
-            if counts[qi] > top_k:
+            if counts[qi] > self.DENSE_PROBE_K:
                 cs, last = self._phase1(seg_lists[qi], ctx)
                 cand_ivs.append(self._candidate_intervals(cs, last, L))
             else:
-                offs = np.sort(np.unique(idx[qi][: counts[qi]].astype(np.int64)))
-                # Compress sorted offsets into runs -> interval form.
-                if offs.size:
-                    breaks = np.flatnonzero(np.diff(offs) > 1)
-                    left = offs[np.concatenate(([0], breaks + 1))]
-                    right = offs[np.concatenate((breaks, [offs.size - 1]))]
-                else:
-                    left = right = np.empty(0, np.int64)
-                cand_ivs.append((left, right))
+                cand_ivs.append(self._positions_to_intervals(
+                    positions[qi][: counts[qi]]))
         per_query = self._verify_multi(cand_ivs, ctxs)
         t_end = _time.perf_counter()
         results = []
