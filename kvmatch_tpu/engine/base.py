@@ -43,6 +43,7 @@ class QueryStats:
     n_disjoint: int = 0
     n_answers: int = 0
     n_scans: int = 0
+    n_joins: int = 0           # segments served by the fused join kernels
     n_segments_used: int = 0
     n_device_checked: int = 0
     n_host_rechecked: int = 0
@@ -132,6 +133,13 @@ class BaseEngine:
                       sc.mean_upper_bound) + slack
         return lo, hi
 
+    # Scans below this interval count are served per-row (C k-way merge over
+    # just the probed rows); only bigger scans are allowed to materialize a
+    # scale's GLOBAL position-sorted view — that build costs O(T log R) over
+    # ALL intervals (~10 s/scale at n=1e9), which is pure overhead for the
+    # selective scans that dominate real workloads.
+    POS_VIEW_MIN = 1 << 22
+
     def _gather_rows(self, sc: IndexScale, rows: np.ndarray, ctx: "_Ctx" = None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Flatten the interval lists of the probed rows.  Returns
@@ -146,23 +154,23 @@ class BaseEngine:
             return e, e, e
         i0, i1 = int(rows[0]), int(rows[-1]) + 1
         row_total = int(sc.row_ptr[i1] - sc.row_ptr[i0])
-        p_left, p_right, p_row = sc.pos_sorted()
-        if ctx is not None and ctx.span is not None:
-            lo, hi = ctx.span
-            a = np.searchsorted(p_left, lo - self.icfg.maximum_diff, side="left")
-            b = np.searchsorted(p_left, hi, side="right")
-            if (b - a) < row_total:
-                sl_row = p_row[a:b]
-                keep = (sl_row >= i0) & (sl_row < i1) & (p_right[a:b] >= lo)
-                return (sl_row[keep] - i0, p_left[a:b][keep], p_right[a:b][keep])
-        # A scale's intervals are mutually DISJOINT (every position has exactly
-        # one bucket), so the position-sorted view filtered to the probed rows is
-        # already sorted AND disjoint — avoiding the O(P log P) argsort that a
-        # per-row gather would need before intersection.  Use it whenever the
-        # selected fraction is large enough that a linear filter beats the sort.
-        if row_total * 16 > p_row.size:
-            keep = (p_row >= i0) & (p_row < i1)
-            return p_row[keep] - i0, p_left[keep], p_right[keep]
+        if sc.has_pos_sorted or row_total > self.POS_VIEW_MIN:
+            p_left, p_right, p_row = sc.pos_sorted()
+            if ctx is not None and ctx.span is not None:
+                lo, hi = ctx.span
+                a = np.searchsorted(p_left, lo - self.icfg.maximum_diff, side="left")
+                b = np.searchsorted(p_left, hi, side="right")
+                if (b - a) < row_total:
+                    sl_row = p_row[a:b]
+                    keep = (sl_row >= i0) & (sl_row < i1) & (p_right[a:b] >= lo)
+                    return (sl_row[keep] - i0, p_left[a:b][keep], p_right[a:b][keep])
+            # A scale's intervals are mutually DISJOINT (every position has
+            # exactly one bucket), so the position-sorted view filtered to the
+            # probed rows is already sorted AND disjoint.  Use the linear
+            # filter when the selected fraction is large.
+            if row_total * 16 > p_row.size:
+                keep = (p_row >= i0) & (p_row < i1)
+                return p_row[keep] - i0, p_left[keep], p_right[keep]
         # Rows are internally position-sorted and mutually disjoint, so the
         # left-sorted union is a k-way merge — O(T log R) in C, no argsort.
         from .. import native
@@ -193,24 +201,24 @@ class BaseEngine:
         if rows.size == 0:
             return iv.empty_set(cols)
         i0, i1 = int(rows[0]), int(rows[-1]) + 1
-        p_left, p_right, p_row = sc.pos_sorted()
         row_total = int(sc.row_ptr[i1] - sc.row_ptr[i0])
-        a, b, min_right = 0, int(p_row.size), 0
-        span_ok = False
-        if ctx is not None and ctx.span is not None:
-            lo, hi = ctx.span
-            a2 = int(np.searchsorted(p_left, lo - self.icfg.maximum_diff, side="left"))
-            b2 = int(np.searchsorted(p_left, hi, side="right"))
-            if (b2 - a2) < row_total:
-                a, b, min_right = a2, b2, int(lo)
-                span_ok = True
-        use_native = span_ok or row_total * 16 > p_row.size
-        if use_native:
-            from .. import native
-            res = native.scan_fill(p_left, p_right, p_row, a, b, i0, i1,
-                                   min_right, row_payloads)
-            if res is not None:
-                return res
+        if sc.has_pos_sorted or row_total > self.POS_VIEW_MIN:
+            p_left, p_right, p_row = sc.pos_sorted()
+            a, b, min_right = 0, int(p_row.size), 0
+            span_ok = False
+            if ctx is not None and ctx.span is not None:
+                lo, hi = ctx.span
+                a2 = int(np.searchsorted(p_left, lo - self.icfg.maximum_diff, side="left"))
+                b2 = int(np.searchsorted(p_left, hi, side="right"))
+                if (b2 - a2) < row_total:
+                    a, b, min_right = a2, b2, int(lo)
+                    span_ok = True
+            if span_ok or row_total * 16 > p_row.size:
+                from .. import native
+                res = native.scan_fill(p_left, p_right, p_row, a, b, i0, i1,
+                                       min_right, row_payloads)
+                if res is not None:
+                    return res
         rep_rows, left, right = self._gather_rows(sc, rows, ctx)
         out = {"left": left, "right": right}
         for name, colv in row_payloads.items():
@@ -406,10 +414,17 @@ class BaseEngine:
                 nxt["left"], nxt["right"] = left[keep], right[keep]
             else:
                 nxt = None
-                if cs["left"].size * self.JOIN_CS_RATIO < seg.count:
+                # Join only when its O(|CS| log T) beats the per-row merge AND
+                # the scale's position-sorted view is warranted (building it
+                # costs O(T log R) once — POS_VIEW_MIN gates that, as in
+                # _scan_fill/_gather_rows).
+                if (cs["left"].size * self.JOIN_CS_RATIO < seg.count
+                        and (self.index[seg.w].has_pos_sorted
+                             or seg.count > self.POS_VIEW_MIN)):
                     nxt = self._scan_join(seg, cs, ctx)
                 if nxt is not None:
                     ctx.stats.n_scans += 1
+                    ctx.stats.n_joins += 1
                 else:
                     positions = self._scan(seg, ctx)
                     ctx.stats.n_scans += 1

@@ -236,6 +236,7 @@ def test_join_path_matches_scan_intersect():
             eng.JOIN_CS_RATIO = 10**18     # 'cs*ratio < count' never true: scan+intersect
             base_res = eng.query(q, eps, **params)
             eng.JOIN_CS_RATIO = 0          # '0 < count' whenever count > 0: join forced
+            eng.POS_VIEW_MIN = 0           # allow the pos-sorted view on tiny fixtures
             join_res = eng.query(q, eps, **params)
             assert set(base_res.offsets.tolist()) == set(join_res.offsets.tolist())
             assert off in join_res.offsets.tolist()
@@ -261,6 +262,7 @@ def test_join_norm_path_matches_scan_intersect():
             eng.JOIN_CS_RATIO = 10**18     # scan+intersect
             base_res = eng.query(q, eps, alpha=1.3, beta=8.0, **params)
             eng.JOIN_CS_RATIO = 0          # join forced
+            eng.POS_VIEW_MIN = 0           # allow the pos-sorted view on tiny fixtures
             join_res = eng.query(q, eps, alpha=1.3, beta=8.0, **params)
             assert set(base_res.offsets.tolist()) == set(join_res.offsets.tolist())
             assert off in join_res.offsets.tolist()
