@@ -89,13 +89,16 @@ class QueryConfig:
     # C-kernel throughput (~40M intervals/s measured on this 1-core box).
     phase1_scan_cost_ms_per_interval: float = 2.5e-5
     # Dense-query routing: when even the most selective plan segment holds
-    # more than this many index intervals, the host interval algebra would
-    # churn through 1e8-interval intermediates (minutes at n=1e9 on this
-    # host); phase 1 instead runs as the DEVICE dense probe — the accumulated
-    # bound evaluated elementwise over every position (no intermediates at
-    # all), with bucket ids recomputed on the fly from the f32 series.
-    # None disables the route (host phase 1 always).
-    dense_probe_min_count: int | None = 2_000_000
+    # more than this many index intervals, phase 1 runs as the DEVICE dense
+    # probe — the accumulated bound evaluated elementwise over every position
+    # (no host intermediates), with bucket ids recomputed on the fly from the
+    # f32 series.  OPT-IN (None = host phase 1 always): after the pos-view
+    # gating fix the host path handles every measured n=1e9 workload in
+    # milliseconds-to-seconds, and the dev tunnel's TPU worker has crashed
+    # under the fly probe's long fori_loop programs at the 1e9 scale — enable
+    # explicitly (e.g. tpu_tuned(dense_probe_min_count=2_000_000)) on
+    # hardware that tolerates it.  query_batch_device always uses the probe.
+    dense_probe_min_count: int | None = None
     # Normalized-engine extras (NormQueryEngine.java:57-60).
     enable_std_filter: bool = True
     enable_beta_partition: bool = True

@@ -472,7 +472,15 @@ class BaseEngine:
         return cs, last_segment
 
     # ------------------------------------------------- dense-on-device phase 1
-    DENSE_PROBE_K = 1 << 20  # exact candidate capacity of the fly probe
+    DENSE_PROBE_K = 1 << 20      # baseline candidate capacity of the fly probe
+    DENSE_PROBE_K_BUDGET = 1 << 27  # total capacity elements across a batch
+
+    def _dense_probe_k(self, n_queries: int) -> int:
+        """Adaptive candidate capacity: single queries get deep buffers (a
+        dense query can hold tens of millions of candidates), large batches
+        split a fixed budget."""
+        return max(self.DENSE_PROBE_K,
+                   min(1 << 25, self.DENSE_PROBE_K_BUDGET // max(n_queries, 1)))
 
     def _dense_route(self, segments) -> bool:
         """True when phase 1 should run as the device dense probe: even the
@@ -504,10 +512,11 @@ class BaseEngine:
         norm = "alpha" in ctxs[0].params
         if not hasattr(self, "_fly_steps"):
             self._fly_steps = {}
-        key = (L, norm, len(ctxs))
+        cand_k = self._dense_probe_k(len(ctxs))
+        key = (L, norm, len(ctxs), cand_k)
         if key not in self._fly_steps:
             self._fly_steps[key] = make_dense_probe_step_fly(
-                self.icfg, L, cand_k=self.DENSE_PROBE_K, norm=norm)
+                self.icfg, L, cand_k=cand_k, norm=norm)
         step = self._fly_steps[key]
         data_p = self._fly_padded_dev(L)
         segs = pack_segments_batch(seg_lists, tuple(self.icfg.scales))
@@ -519,7 +528,7 @@ class BaseEngine:
         else:
             cons = jnp.zeros((len(ctxs), 4), jnp.float32)
         counts, positions = step(data_p, segs, eps2, cons, jnp.int32(self.n))
-        return np.asarray(counts), np.asarray(positions)
+        return np.asarray(counts), np.asarray(positions), cand_k
 
     @staticmethod
     def _positions_to_intervals(offs: np.ndarray):
@@ -539,8 +548,8 @@ class BaseEngine:
         frame."""
         if self._dense_route(segments):
             t0 = time.perf_counter()
-            counts, positions = self._device_dense_phase1([ctx], [segments])
-            if counts[0] <= self.DENSE_PROBE_K:
+            counts, positions, cand_k = self._device_dense_phase1([ctx], [segments])
+            if counts[0] <= cand_k:
                 ctx.stats.t_phase1_ms = (time.perf_counter() - t0) * 1e3
                 ctx.stats.n_scans = len(segments)
                 ctx.stats.n_segments_used = len(segments)
@@ -603,12 +612,12 @@ class BaseEngine:
                              eps2=float(eps[qi]) ** 2, params=dict(params),
                              stats=QueryStats()))
         seg_lists = self._plan_batch(ctxs)
-        counts, positions = self._device_dense_phase1(ctxs, seg_lists)
+        counts, positions, cand_k = self._device_dense_phase1(ctxs, seg_lists)
 
         cand_ivs = []
         for qi, ctx in enumerate(ctxs):
             ctx.stats.n_candidates = int(counts[qi])
-            if counts[qi] > self.DENSE_PROBE_K:
+            if counts[qi] > cand_k:
                 cs, last = self._phase1(seg_lists[qi], ctx)
                 cand_ivs.append(self._candidate_intervals(cs, last, L))
             else:
@@ -649,11 +658,11 @@ class BaseEngine:
         dense_res: dict = {}
         if dense_q:
             t0d = time.perf_counter()
-            counts, positions = self._device_dense_phase1(
+            counts, positions, cand_k = self._device_dense_phase1(
                 [ctxs[qi] for qi in dense_q], [seg_lists[qi] for qi in dense_q])
             dt = (time.perf_counter() - t0d) * 1e3 / len(dense_q)
             for j, qi in enumerate(dense_q):
-                if counts[j] <= self.DENSE_PROBE_K:
+                if counts[j] <= cand_k:
                     ctxs[qi].stats.t_phase1_ms = dt
                     ctxs[qi].stats.n_scans = len(seg_lists[qi])
                     ctxs[qi].stats.n_segments_used = len(seg_lists[qi])
