@@ -197,6 +197,9 @@ class QueryEngine(BaseEngine):
         data_dev = self.data_dev
 
         if region is not None:
+            import logging
+            import time as _t
+            logger = logging.getLogger("kvmatch_tpu")
             from ..ops.regions import (region_ed_distances_multi,
                                        region_ed_near_multi)
             starts, vfrom, vto, qids = region
@@ -206,10 +209,14 @@ class QueryEngine(BaseEngine):
             M = self.REGION_M
             th_dev = jnp.asarray(threshs, jnp.float32)
             NEAR_K = 16384
+            t0 = _t.perf_counter()
             near = vf.run_region_near(
                 lambda s_, q_, vf_, vt_: region_ed_near_multi(
                     data_dev, qm, s_, q_, vf_, vt_, th_dev, L, M, NEAR_K, c),
                 starts, vfrom, vto, qids, NEAR_K)
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug("region near path: %d regions, %.2fs, overflow=%s",
+                             starts.size, _t.perf_counter() - t0, near is None)
             if near is not None:
                 near_off, near_qid = near
                 return [self._confirm_ed(np.sort(near_off[near_qid == qi]), ctx)
