@@ -337,16 +337,36 @@ class BaseEngine:
     REGION_MIN_OFFSETS = 2048
     REGION_TRAFFIC_FUDGE = 2.0
 
+    def _region_m(self, L: int, avg_run: float) -> int:
+        """Region width.  The FFT length is next_pow2(M + L - 1), so for DENSE
+        candidate runs M = next_pow2(L) costs the SAME transform as M = 512
+        while serving up to 16x more offsets per region row (the N-point FFT
+        is ~fully utilized: M + L - 1 = 2*next_pow2(L) - 1).  Short scattered
+        runs keep the small M: an isolated hit then reads M + L - 1 points
+        instead of ~2L."""
+        base = self.REGION_M
+        if avg_run >= 2 * base:
+            return max(base, 1 << int(np.ceil(np.log2(max(L, 2)))))
+        return base
+
     def _region_plan(self, cand_ivs, L: int):
         """Decide gather vs region path and, for the region path, pack all
-        queries' gap-coalesced intervals into fixed-M region rows."""
+        queries' gap-coalesced intervals into fixed-M region rows.  Returns
+        (starts, valid_from, valid_to, qids, M) or None for the gather path."""
         from ..ops.regions import coalesce_intervals, pack_regions
-        M = self.REGION_M
         n_offsets = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
         if n_offsets < self.REGION_MIN_OFFSETS:
             return None
-        merged = [coalesce_intervals(l, r, M) if l.size else (l, r)
+        merged = [coalesce_intervals(l, r, self.REGION_M) if l.size else (l, r)
                   for l, r in cand_ivs]
+        n_runs = sum(l.size for l, _ in merged)
+        run_len = sum(int(np.sum(r - l + 1)) for l, r in merged if l.size)
+        if n_runs == 0:
+            return None
+        M = self._region_m(L, run_len / n_runs)
+        if M > self.REGION_M:  # re-coalesce at the wider gap
+            merged = [coalesce_intervals(l, r, M) if l.size else (l, r)
+                      for l, r in merged]
         n_regions = sum(int(np.sum((r - l + 1 + M - 1) // M))
                         for l, r in merged if l.size)
         if (n_regions == 0
@@ -363,7 +383,7 @@ class BaseEngine:
             vto.append(b)
             qids.append(np.full(s.size, qi, np.int32))
         return (np.concatenate(starts), np.concatenate(vfrom),
-                np.concatenate(vto), np.concatenate(qids))
+                np.concatenate(vto), np.concatenate(qids), M)
 
     def _verify_intervals(self, left: np.ndarray, right: np.ndarray, ctx: _Ctx
                           ) -> Tuple[np.ndarray, np.ndarray]:

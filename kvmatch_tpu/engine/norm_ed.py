@@ -407,8 +407,7 @@ class NormQueryEngine(BaseEngine):
         if region is not None:
             from ..ops.regions import (region_znorm_distances_multi,
                                        region_znorm_near_multi)
-            starts, vfrom, vto, qids = region
-            M = self.REGION_M
+            starts, vfrom, vto, qids, M = region
             cons = np.stack([[c.params["alpha"], c.params["beta"],
                               c.params["_mu_q"], c.params["_sd_q"],
                               1e-3 * (1.0 + abs(c.params["_mu_q"])

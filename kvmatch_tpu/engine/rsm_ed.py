@@ -202,11 +202,10 @@ class QueryEngine(BaseEngine):
             logger = logging.getLogger("kvmatch_tpu")
             from ..ops.regions import (region_ed_distances_multi,
                                        region_ed_near_multi)
-            starts, vfrom, vto, qids = region
+            starts, vfrom, vto, qids, M = region
             c = np.float32(self._data_center())
             qm = jnp.asarray(np.stack([ctx.query for ctx in ctxs]) - float(c),
                              jnp.float32)
-            M = self.REGION_M
             th_dev = jnp.asarray(threshs, jnp.float32)
             NEAR_K = 16384
             t0 = _t.perf_counter()
