@@ -547,8 +547,10 @@ class BaseEngine:
                                 for c in ctxs], jnp.float32)
         else:
             cons = jnp.zeros((len(ctxs), 4), jnp.float32)
-        counts, positions = step(data_p, segs, eps2, cons, jnp.int32(self.n))
-        return np.asarray(counts), np.asarray(positions), cand_k
+        n_off, n_runs, run_l, run_r = step(data_p, segs, eps2, cons,
+                                           jnp.int32(self.n))
+        return (np.asarray(n_off), np.asarray(n_runs), np.asarray(run_l),
+                np.asarray(run_r), cand_k)
 
     @staticmethod
     def _positions_to_intervals(offs: np.ndarray):
@@ -568,12 +570,15 @@ class BaseEngine:
         frame."""
         if self._dense_route(segments):
             t0 = time.perf_counter()
-            counts, positions, cand_k = self._device_dense_phase1([ctx], [segments])
-            if counts[0] <= cand_k:
+            n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
+                [ctx], [segments])
+            if n_runs[0] <= cand_k:
                 ctx.stats.t_phase1_ms = (time.perf_counter() - t0) * 1e3
                 ctx.stats.n_scans = len(segments)
                 ctx.stats.n_segments_used = len(segments)
-                return self._positions_to_intervals(positions[0][: counts[0]])
+                k = int(n_runs[0])
+                return (run_l[0][:k].astype(np.int64),
+                        run_r[0][:k].astype(np.int64))
             # overflow: exact fallback through the host path
         cs, last_segment = self._phase1(segments, ctx)
         return self._candidate_intervals(cs, last_segment, ctx.length)
@@ -632,17 +637,19 @@ class BaseEngine:
                              eps2=float(eps[qi]) ** 2, params=dict(params),
                              stats=QueryStats()))
         seg_lists = self._plan_batch(ctxs)
-        counts, positions, cand_k = self._device_dense_phase1(ctxs, seg_lists)
+        n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
+            ctxs, seg_lists)
 
         cand_ivs = []
         for qi, ctx in enumerate(ctxs):
-            ctx.stats.n_candidates = int(counts[qi])
-            if counts[qi] > cand_k:
+            ctx.stats.n_candidates = int(n_off[qi])
+            if n_runs[qi] > cand_k:
                 cs, last = self._phase1(seg_lists[qi], ctx)
                 cand_ivs.append(self._candidate_intervals(cs, last, L))
             else:
-                cand_ivs.append(self._positions_to_intervals(
-                    positions[qi][: counts[qi]]))
+                k = int(n_runs[qi])
+                cand_ivs.append((run_l[qi][:k].astype(np.int64),
+                                 run_r[qi][:k].astype(np.int64)))
         per_query = self._verify_multi(cand_ivs, ctxs)
         t_end = _time.perf_counter()
         results = []
@@ -678,16 +685,17 @@ class BaseEngine:
         dense_res: dict = {}
         if dense_q:
             t0d = time.perf_counter()
-            counts, positions, cand_k = self._device_dense_phase1(
+            n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
                 [ctxs[qi] for qi in dense_q], [seg_lists[qi] for qi in dense_q])
             dt = (time.perf_counter() - t0d) * 1e3 / len(dense_q)
             for j, qi in enumerate(dense_q):
-                if counts[j] <= cand_k:
+                if n_runs[j] <= cand_k:
                     ctxs[qi].stats.t_phase1_ms = dt
                     ctxs[qi].stats.n_scans = len(seg_lists[qi])
                     ctxs[qi].stats.n_segments_used = len(seg_lists[qi])
-                    dense_res[qi] = self._positions_to_intervals(
-                        positions[j][: counts[j]])
+                    k = int(n_runs[j])
+                    dense_res[qi] = (run_l[j][:k].astype(np.int64),
+                                     run_r[j][:k].astype(np.int64))
         for qi in range(nq):
             ctx = ctxs[qi]
             if qi in dense_res:

@@ -339,15 +339,18 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
     Unlike make_dense_probe_step_batched this needs NO precomputed bucket
     stack — each position block recomputes its (S, blk+L) bucket window from
     the f32 data via the doubling window-sum kernels (ops/sliding), so the
-    device holds O(data) instead of O(S * n) (20 GB at n=1e9).  Candidates
-    are collected by ORDERED COMPACTION (cumsum + scatter), not top-K: the
-    output lists every masked position in position order up to ``cand_k``,
-    with counts flagging overflow.  O(Q * n) scatter work — same order as the
-    probe itself — where a 1M-wide top-k merge per block would sort-dominate.
+    device holds O(data) instead of O(S * n) (20 GB at n=1e9).
+
+    Candidates are emitted as RUN-COMPRESSED INTERVALS via ordered compaction
+    (cumsum + scatter of run starts/ends, with runs spanning block boundaries
+    carried through the loop): dense candidate sets at large n have ~25-point
+    gaps, so tens of millions of candidate offsets fit a 1M-run buffer.  The
+    intervals come out position-sorted and disjoint — ready for phase 2.
 
     Args: (data_padded f32[n + fly_pad_for(...)], segs DenseSegments (leading
     Q), eps2 f32[Q], cons f32[Q, 4], n_total i32) ->
-    (counts i32[Q], positions i32[Q, K] position-ordered, first counts valid).
+    (n_offsets i32[Q], n_runs i32[Q], run_left i32[Q, K], run_right
+    i32[Q, K]); n_runs > K flags overflow (truncated output).
     """
     from ..ops.sliding import build_buckets
 
@@ -364,6 +367,7 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
         nb = -(-max(n_hi, 1) // blk)
         m = n_total - length + 1
         K = cand_k
+        qrows = jnp.arange(Q)[:, None]
 
         def probe_one(bwin, sg, c):
             if norm:
@@ -372,7 +376,7 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
             return _dense_probe(bwin, sg, unit, icfg.d, blk, slack)
 
         def body(b, carry):
-            counts, out = carry
+            n_off, n_runs, n_ends, out_l, out_r, open_ = carry
             p0 = b * blk
             need = blk + length + w_max
             piece = jax.lax.dynamic_slice(data_padded, (p0,), (need,))
@@ -382,18 +386,49 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
             eps_acc = jax.vmap(lambda sg, c: probe_one(bwin, sg, c))(segs, cons)
             pos = p0 + jnp.arange(blk, dtype=jnp.int32)
             mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
-            local = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-            dest = counts[:, None] + local
-            dest = jnp.where(mask & (dest < K), dest, K)  # K = dumpster slot
-            out = out.at[jnp.arange(Q)[:, None], dest].set(
-                jnp.broadcast_to(pos[None, :], (Q, blk)), mode="drop")
-            counts = counts + jnp.sum(mask.astype(jnp.int32), axis=1)
-            return counts, out
 
-        carry0 = (jnp.zeros(Q, jnp.int32),
-                  jnp.zeros((Q, K + 1), jnp.int32))
-        counts, out = jax.lax.fori_loop(0, nb, body, carry0)
-        return counts, out[:, :K]
+            # Run starts: masked with an unmasked predecessor (the carry bit
+            # `open_` is the last position of the previous block).
+            prev = jnp.concatenate([open_[:, None], mask[:, :-1]], axis=1)
+            starts_m = mask & ~prev
+            # Run ends inside this block (the last column defers to the carry).
+            nxt = jnp.concatenate([mask[:, 1:], jnp.ones((Q, 1), bool)], axis=1)
+            ends_m = mask & ~nxt
+            # A run open at the block boundary that does NOT continue closes
+            # at p0 - 1.
+            close_prev = open_ & ~mask[:, 0]
+
+            loc_s = jnp.cumsum(starts_m.astype(jnp.int32), axis=1) - 1
+            dest_s = jnp.where(starts_m, n_runs[:, None] + loc_s, K)
+            out_l = out_l.at[qrows, jnp.minimum(dest_s, K)].set(
+                jnp.broadcast_to(pos[None, :], (Q, blk)), mode="drop")
+
+            e_base = n_ends + close_prev.astype(jnp.int32)
+            out_r = out_r.at[jnp.arange(Q), jnp.minimum(
+                jnp.where(close_prev, n_ends, K), K)].set(p0 - 1, mode="drop")
+            loc_e = jnp.cumsum(ends_m.astype(jnp.int32), axis=1) - 1
+            dest_e = jnp.where(ends_m, e_base[:, None] + loc_e, K)
+            out_r = out_r.at[qrows, jnp.minimum(dest_e, K)].set(
+                jnp.broadcast_to(pos[None, :], (Q, blk)), mode="drop")
+
+            n_off = n_off + jnp.sum(mask.astype(jnp.int32), axis=1)
+            n_runs = n_runs + jnp.sum(starts_m.astype(jnp.int32), axis=1)
+            n_ends = e_base + jnp.sum(ends_m.astype(jnp.int32), axis=1)
+            return n_off, n_runs, n_ends, out_l, out_r, mask[:, -1]
+
+        carry0 = (jnp.zeros(Q, jnp.int32), jnp.zeros(Q, jnp.int32),
+                  jnp.zeros(Q, jnp.int32),
+                  jnp.zeros((Q, K + 1), jnp.int32),
+                  jnp.zeros((Q, K + 1), jnp.int32),
+                  jnp.zeros(Q, bool))
+        n_off, n_runs, n_ends, out_l, out_r, open_ = jax.lax.fori_loop(
+            0, nb, body, carry0)
+        # Epilogue: a run still open after the last block ends at the last
+        # position the loop produced (only possible when m-1 is the final
+        # block's last column).
+        out_r = out_r.at[jnp.arange(Q), jnp.minimum(
+            jnp.where(open_, n_ends, K), K)].set(m - 1, mode="drop")
+        return n_off, n_runs, out_l[:, :K], out_r[:, :K]
 
     return jax.jit(step, static_argnames=())
 

@@ -64,3 +64,25 @@ def test_dense_route_batch_matches_host(setup):
     for o, a, b in zip(offs, rh, rd):
         assert set(a.offsets.tolist()) == set(b.offsets.tolist())
         assert o in b.offsets.tolist()
+
+
+def test_fly_runs_cross_block_boundaries(setup, monkeypatch):
+    """Run-compressed candidates must stitch correctly across position blocks:
+    force tiny blocks so candidate runs straddle block boundaries."""
+    from kvmatch_tpu.parallel import query as pq
+    data, idx = setup
+    monkeypatch.setattr(pq, "PROBE_BLOCK_MAX", 4096)
+    monkeypatch.setattr(pq, "PROBE_BLOCK_MIN", 4096)
+    L = 512
+    eh = QueryEngine(data, index=idx, icfg=IndexConfig(),
+                     qcfg=QueryConfig(dense_probe_min_count=None))
+    ed = QueryEngine(data, index=idx, icfg=IndexConfig(),
+                     qcfg=QueryConfig(dense_probe_min_count=0))
+    for off, eps in [(2000, 8.0), (31000, 12.0)]:  # loose eps -> long runs
+        q = data[off:off + L]
+        rh = eh.query(q, eps)
+        rd = ed.query(q, eps)
+        assert set(rh.offsets.tolist()) == set(rd.offsets.tolist())
+        assert off in rd.offsets.tolist()
+        # run compression is exact: total offsets == sum of run lengths
+        assert rd.stats.n_candidates == rd.stats.n_device_checked
