@@ -493,7 +493,8 @@ class BaseEngine:
 
     # ------------------------------------------------- dense-on-device phase 1
     DENSE_PROBE_K = 1 << 20      # baseline candidate capacity of the fly probe
-    DENSE_PROBE_K_BUDGET = 1 << 27  # total capacity elements across a batch
+    DENSE_PROBE_K_BUDGET = 1 << 28  # total capacity elements across a batch
+    DENSE_PROBE_GROUP = 32       # dense queries probed per device program
 
     def _dense_probe_k(self, n_queries: int) -> int:
         """Adaptive candidate capacity: single queries get deep buffers (a
@@ -683,12 +684,15 @@ class BaseEngine:
         # (and any probe overflowing its candidate capacity) take host phase 1.
         dense_q = [qi for qi in range(nq) if self._dense_route(seg_lists[qi])]
         dense_res: dict = {}
-        if dense_q:
+        # Sub-batch dense queries so each probe program keeps a deep run
+        # buffer (capacity budget is split per query within a group).
+        for g in range(0, len(dense_q), self.DENSE_PROBE_GROUP):
+            grp = dense_q[g: g + self.DENSE_PROBE_GROUP]
             t0d = time.perf_counter()
             n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
-                [ctxs[qi] for qi in dense_q], [seg_lists[qi] for qi in dense_q])
-            dt = (time.perf_counter() - t0d) * 1e3 / len(dense_q)
-            for j, qi in enumerate(dense_q):
+                [ctxs[qi] for qi in grp], [seg_lists[qi] for qi in grp])
+            dt = (time.perf_counter() - t0d) * 1e3 / len(grp)
+            for j, qi in enumerate(grp):
                 if n_runs[j] <= cand_k:
                     ctxs[qi].stats.t_phase1_ms = dt
                     ctxs[qi].stats.n_scans = len(seg_lists[qi])
