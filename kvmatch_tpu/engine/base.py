@@ -134,11 +134,18 @@ class BaseEngine:
         return lo, hi
 
     # Scans below this interval count are served per-row (C k-way merge over
-    # just the probed rows); only bigger scans are allowed to materialize a
-    # scale's GLOBAL position-sorted view — that build costs O(T log R) over
-    # ALL intervals (~10 s/scale at n=1e9), which is pure overhead for the
-    # selective scans that dominate real workloads.
+    # just the probed rows); a scale's GLOBAL position-sorted view — whose
+    # build costs O(T log R) over ALL intervals (~10 s/scale at n=1e9) — is
+    # materialized only when a single scan is huge (POS_VIEW_MIN) or when the
+    # cumulative per-row-merge work on that scale has exceeded ~2x its
+    # interval count (the build then amortizes across the workload).
     POS_VIEW_MIN = 1 << 22
+
+    def _use_pos_view(self, sc: IndexScale, row_total: int) -> bool:
+        if sc.has_pos_sorted or row_total > self.POS_VIEW_MIN:
+            return True
+        sc.gather_work += row_total
+        return sc.gather_work > 2 * sc.num_intervals
 
     def _gather_rows(self, sc: IndexScale, rows: np.ndarray, ctx: "_Ctx" = None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -154,7 +161,7 @@ class BaseEngine:
             return e, e, e
         i0, i1 = int(rows[0]), int(rows[-1]) + 1
         row_total = int(sc.row_ptr[i1] - sc.row_ptr[i0])
-        if sc.has_pos_sorted or row_total > self.POS_VIEW_MIN:
+        if sc.has_pos_sorted:
             p_left, p_right, p_row = sc.pos_sorted()
             if ctx is not None and ctx.span is not None:
                 lo, hi = ctx.span
@@ -202,7 +209,7 @@ class BaseEngine:
             return iv.empty_set(cols)
         i0, i1 = int(rows[0]), int(rows[-1]) + 1
         row_total = int(sc.row_ptr[i1] - sc.row_ptr[i0])
-        if sc.has_pos_sorted or row_total > self.POS_VIEW_MIN:
+        if self._use_pos_view(sc, row_total):
             p_left, p_right, p_row = sc.pos_sorted()
             a, b, min_right = 0, int(p_row.size), 0
             span_ok = False
@@ -285,9 +292,10 @@ class BaseEngine:
     def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
         raise NotImplementedError
 
-    def _intersect_native(self, cs, positions, ctx: _Ctx):
-        """Fused C two-pointer CS x CS_i step (native/interval_kernels.c); None
-        falls back to the vectorized NumPy intersection."""
+    def _intersect_native(self, cs, positions, ctx: _Ctx, delta: int = 0):
+        """Fused C two-pointer CS x CS_i step (native/interval_kernels.c),
+        with the frame shift and phase-1 bookkeeping folded in; returns
+        (cs_dict_shifted, n_offsets, min_eps) or None for the NumPy path."""
         return None
 
     def _scan_join(self, seg: QuerySegment, cs, ctx: _Ctx):
@@ -418,6 +426,7 @@ class BaseEngine:
             delta = 0 if i == len(segments) - 1 else \
                 (segments[i + 1].order - seg.order) * unit
             ctx.processed_units += seg.w // unit
+            fused = None  # (n_disjoint, n_offsets, min_eps) from the C step
 
             if i == 0:
                 positions = self._scan(seg, ctx)
@@ -448,13 +457,24 @@ class BaseEngine:
                 else:
                     positions = self._scan(seg, ctx)
                     ctx.stats.n_scans += 1
-                    nxt = self._intersect_native(cs, positions, ctx)
-                    if nxt is None:
+                    nat = self._intersect_native(cs, positions, ctx, delta)
+                    if nat is not None:
+                        # The C kernel emitted the shifted, sorted-disjoint
+                        # set AND its bookkeeping in one pass: no extra
+                        # shift/merge/count/min-eps array passes.
+                        nxt, n_off_c, emin_c = nat
+                        fused = (nxt["left"].size, n_off_c, emin_c)
+                    else:
                         pieces, ia, ib = iv.intersect_with_sorted(cs, positions)
                         nxt = self._combine(pieces, cs, positions, ia, ib, ctx)
 
-            self._track_min_eps(nxt, ctx)
-            cs = iv.merge_intervals(iv.shift(nxt, delta))
+            if fused is not None:
+                if np.isfinite(fused[2]) and nxt["left"].size:
+                    ctx.last_min_eps = fused[2]
+                cs = nxt  # already in the next segment's frame
+            else:
+                self._track_min_eps(nxt, ctx)
+                cs = iv.merge_intervals(iv.shift(nxt, delta))
             ctx.stats.n_segments_used = i + 1
             if cs["left"].size:
                 ctx.span = (int(cs["left"][0]), int(cs["right"][-1]))
@@ -463,7 +483,8 @@ class BaseEngine:
                 ctx.stats.t_phase1_ms = (time.perf_counter() - t0) * 1e3
                 return cs, (segments[i + 1].order if i + 1 < len(segments) else seg.order)
 
-            n_disjoint, n_offsets = iv.count_stats(cs)
+            n_disjoint, n_offsets = fused[:2] if fused is not None \
+                else iv.count_stats(cs)
             if logger.isEnabledFor(logging.DEBUG):
                 logger.debug("segment %d (order=%d w=%d): %d disjoint ranges, "
                              "%d offsets", i + 1, seg.order, seg.w,

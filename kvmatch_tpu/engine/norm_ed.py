@@ -257,7 +257,7 @@ class NormQueryEngine(BaseEngine):
                    ex_up=ex_up[keep], ex2_up=ex2_up[keep], beta=bits[keep])
         return out
 
-    def _intersect_native(self, cs, positions, ctx: _Ctx):
+    def _intersect_native(self, cs, positions, ctx: _Ctx, delta: int = 0):
         from .. import native
         return native.intersect_norm(
             cs, positions, ctx.eps2,
@@ -265,7 +265,7 @@ class NormQueryEngine(BaseEngine):
             use_std=self.qcfg.enable_std_filter,
             unit=self.icfg.unit, qlen=ctx.length, p_units=ctx.processed_units,
             alpha=ctx.params["alpha"], beta=ctx.params["beta"],
-            mu_q=ctx.params["_mu_q"], sd_q=ctx.params["_sd_q"])
+            mu_q=ctx.params["_mu_q"], sd_q=ctx.params["_sd_q"], delta=delta)
 
     def _std_filter(self, ex_lo, ex2_lo, ex_up, ex2_up, ctx: _Ctx) -> np.ndarray:
         """Derived-sigma lower-bound filter (NormQueryEngine.java:354-382,

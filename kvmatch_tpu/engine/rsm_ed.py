@@ -110,9 +110,9 @@ class QueryEngine(BaseEngine):
         return {"left": pieces["left"][keep], "right": pieces["right"][keep],
                 "eps": eps_sum[keep]}
 
-    def _intersect_native(self, cs, positions, ctx: _Ctx):
+    def _intersect_native(self, cs, positions, ctx: _Ctx, delta: int = 0):
         from .. import native
-        return native.intersect_ed(cs, positions, ctx.eps2)
+        return native.intersect_ed(cs, positions, ctx.eps2, delta)
 
     # ---------------------------------------------------------------- phase 2
     @functools.lru_cache(maxsize=8)

@@ -47,6 +47,10 @@ class IndexScale:
     # _gather_rows_span) — later phase-1 segments then cost O(span intervals)
     # instead of O(all intervals in the key range).
     _pos_sorted: tuple = None
+    # Cumulative interval count served by per-row merges (engine-maintained);
+    # once it exceeds ~2x the scale's interval count, building the global
+    # position-sorted view amortizes (BaseEngine._use_pos_view).
+    gather_work: int = 0
 
     def pos_sorted(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Position-sorted view (left, right, row_of_interval) of ALL intervals.

@@ -59,7 +59,7 @@ def _build() -> ctypes.CDLL | None:
     lib.intersect_ed.argtypes = [
         ctypes.c_long, P, P, P,
         ctypes.c_long, P, P, P,
-        ctypes.c_double, P, P, P]
+        ctypes.c_double, ctypes.c_int64, P, P, P, P, P]
     lib.intersect_norm.restype = ctypes.c_long
     lib.intersect_norm.argtypes = [
         ctypes.c_long, P, P, P, P, P, P, P, P,
@@ -67,7 +67,8 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_double, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        P, P, P, P, P, P, P, P]
+        ctypes.c_int64,
+        P, P, P, P, P, P, P, P, P, P]
     lib.merge_sorted_ed.restype = ctypes.c_long
     lib.merge_sorted_ed.argtypes = [
         ctypes.c_long, _I64, _I64, _F64, _I64, _I64, _F64]
@@ -213,10 +214,11 @@ def _cf(a) -> np.ndarray:
 _PING = {"ied": 0, "inorm": 0}
 
 
-def intersect_ed(cs: dict, raw: dict, eps2: float):
-    """Fused sorted-x-sorted ED intersection + eps filter; returns a cs-style
-    dict or None when native is unavailable.  The arrays are scratch VIEWS
-    valid until the second-next intersect_ed call."""
+def intersect_ed(cs: dict, raw: dict, eps2: float, delta: int = 0):
+    """Fused sorted-x-sorted ED intersection + eps filter + frame shift; returns
+    (cs-style dict, n_offsets, min_eps) or None when native is unavailable.
+    The arrays are scratch VIEWS valid until the second-next intersect_ed
+    call."""
     lib = get_lib()
     if lib is None:
         return None
@@ -228,15 +230,21 @@ def intersect_ed(cs: dict, raw: dict, eps2: float):
     oe = _scratch(f"ied_e{g}", cap, np.float64)
     a_l, a_r, a_e = _c64(cs["left"]), _c64(cs["right"]), _cf(cs["eps"])
     b_l, b_r, b_e = _c64(raw["left"]), _c64(raw["right"]), _cf(raw["eps"])
+    n_off = np.zeros(1, np.int64)
+    emin = np.zeros(1, np.float64)
     k = lib.intersect_ed(na, a_l.ctypes.data, a_r.ctypes.data, a_e.ctypes.data,
                          nb, b_l.ctypes.data, b_r.ctypes.data, b_e.ctypes.data,
-                         eps2, ol.ctypes.data, orr.ctypes.data, oe.ctypes.data)
-    return {"left": ol[:k], "right": orr[:k], "eps": oe[:k]}
+                         eps2, int(delta),
+                         ol.ctypes.data, orr.ctypes.data, oe.ctypes.data,
+                         n_off.ctypes.data, emin.ctypes.data)
+    return ({"left": ol[:k], "right": orr[:k], "eps": oe[:k]},
+            int(n_off[0]), float(emin[0]))
 
 
 def intersect_norm(cs: dict, raw: dict, eps2: float, use_beta: bool,
                    use_std: bool, unit: int, qlen: int, p_units: int,
-                   alpha: float, beta: float, mu_q: float, sd_q: float):
+                   alpha: float, beta: float, mu_q: float, sd_q: float,
+                   delta: int = 0):
     lib = get_lib()
     if lib is None:
         return None
@@ -253,15 +261,19 @@ def intersect_norm(cs: dict, raw: dict, eps2: float, use_beta: bool,
             (_c64(cs[c]) if c in ("left", "right") else _cf(cs[c])) for c in cols]
     b_in = [np.ascontiguousarray(raw[c], np.uint64) if c == "beta" else
             (_c64(raw[c]) if c in ("left", "right") else _cf(raw[c])) for c in cols]
+    n_off = np.zeros(1, np.int64)
+    emin = np.zeros(1, np.float64)
     k = lib.intersect_norm(
         na, *(a.ctypes.data for a in a_in),
         nb, *(b.ctypes.data for b in b_in),
         eps2, int(use_beta), int(use_std),
         float(unit), float(qlen), float(p_units),
-        alpha, beta, mu_q, sd_q,
-        *(out[c].ctypes.data for c in cols))
+        alpha, beta, mu_q, sd_q, int(delta),
+        *(out[c].ctypes.data for c in cols),
+        n_off.ctypes.data, emin.ctypes.data)
     # Scratch VIEWS, valid until the second-next intersect_norm call.
-    return {name: a[:k] for name, a in out.items()}
+    return ({name: a[:k] for name, a in out.items()},
+            int(n_off[0]), float(emin[0]))
 
 
 _EMPTY_F = np.empty(0, np.float64)

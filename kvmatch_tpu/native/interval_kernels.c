@@ -17,27 +17,40 @@
 #include <math.h>
 
 /* RSM engines: payloads = accumulated epsilon lower bound.
- * Emits every overlap piece with eps_a + eps_b <= eps2.
+ * Emits every overlap piece with eps_a + eps_b <= eps2, SHIFTED by `delta`
+ * (the next segment's frame — folding the shift here removes a whole
+ * array pass per phase-1 step).  Also accumulates the phase-1 bookkeeping
+ * the engine would otherwise recompute in extra passes: *n_off_out = total
+ * covered offsets, *min_eps_out = smallest kept bound (HUGE_VAL if none).
  * Returns the piece count; output capacity must be >= na + nb. */
 long intersect_ed(
     long na, const int64_t *al, const int64_t *ar, const double *ae,
     long nb, const int64_t *bl, const int64_t *br, const double *be,
-    double eps2,
-    int64_t *ol, int64_t *orr, double *oe)
+    double eps2, int64_t delta,
+    int64_t *ol, int64_t *orr, double *oe,
+    int64_t *n_off_out, double *min_eps_out)
 {
     long i = 0, j = 0, k = 0;
+    int64_t n_off = 0;
+    double emin = HUGE_VAL;
     while (i < na && j < nb) {
         if (ar[i] < bl[j]) { i++; continue; }
         if (br[j] < al[i]) { j++; continue; }
         double es = ae[i] + be[j];
         if (es <= eps2) {
-            ol[k] = al[i] > bl[j] ? al[i] : bl[j];
-            orr[k] = ar[i] < br[j] ? ar[i] : br[j];
+            int64_t l = al[i] > bl[j] ? al[i] : bl[j];
+            int64_t r = ar[i] < br[j] ? ar[i] : br[j];
+            ol[k] = l + delta;
+            orr[k] = r + delta;
             oe[k] = es;
+            n_off += r - l + 1;
+            if (es < emin) emin = es;
             k++;
         }
         if (ar[i] < br[j]) i++; else j++;
     }
+    *n_off_out = n_off;
+    *min_eps_out = emin;
     return k;
 }
 
@@ -95,12 +108,14 @@ long intersect_norm(
     const double *b_exup, const double *b_ex2up, const uint64_t *b_beta,
     double eps2, int use_beta, int use_std,
     double unit, double qlen, double p_units,
-    double alpha, double beta, double mu_q, double sd_q,
+    double alpha, double beta, double mu_q, double sd_q, int64_t delta,
     int64_t *ol, int64_t *orr, double *oe,
     double *o_exlo, double *o_ex2lo, double *o_exup, double *o_ex2up,
-    uint64_t *o_beta)
+    uint64_t *o_beta, int64_t *n_off_out, double *min_eps_out)
 {
     long i = 0, j = 0, k = 0;
+    int64_t n_off = 0;
+    double emin = HUGE_VAL;
     double limit = alpha * alpha * sd_q * sd_q + 1e-12;
     double rest = qlen - p_units * unit;
     while (i < na && j < nb) {
@@ -121,18 +136,24 @@ long intersect_norm(
                                  rest, limit, mu_q, beta);
 
         if (keep) {
-            ol[k] = al[i] > bl[j] ? al[i] : bl[j];
-            orr[k] = ar[i] < br[j] ? ar[i] : br[j];
+            int64_t l = al[i] > bl[j] ? al[i] : bl[j];
+            int64_t r = ar[i] < br[j] ? ar[i] : br[j];
+            ol[k] = l + delta;
+            orr[k] = r + delta;
             oe[k] = es;
             o_exlo[k] = exlo;
             o_ex2lo[k] = ex2lo;
             o_exup[k] = exup;
             o_ex2up[k] = ex2up;
             o_beta[k] = bits;
+            n_off += r - l + 1;
+            if (es < emin) emin = es;
             k++;
         }
         if (ar[i] < br[j]) i++; else j++;
     }
+    *n_off_out = n_off;
+    *min_eps_out = emin;
     return k;
 }
 

@@ -61,14 +61,18 @@ def test_intersect_ed_unit():
     raw = {"left": np.array([3, 18, 36], np.int64),
            "right": np.array([12, 32, 40], np.int64),
            "eps": np.array([0.5, 0.5, 0.5])}
-    out = native.intersect_ed(cs, raw, eps2=100.0)
+    out, n_off, emin = native.intersect_ed(cs, raw, eps2=100.0)
     # pieces: [3,5](1.5), [10,12](2.5), [18,20](2.5), [30,32](3.5)
     np.testing.assert_array_equal(out["left"], [3, 10, 18, 30])
     np.testing.assert_array_equal(out["right"], [5, 12, 20, 32])
     np.testing.assert_allclose(out["eps"], [1.5, 2.5, 2.5, 3.5])
+    assert n_off == 3 + 3 + 3 + 3 and emin == 1.5
     # budget filter
-    out = native.intersect_ed(cs, raw, eps2=2.0)
+    out, n_off, emin = native.intersect_ed(cs, raw, eps2=2.0)
     np.testing.assert_array_equal(out["left"], [3])
+    # frame shift folded into the kernel
+    out, _, _ = native.intersect_ed(cs, raw, eps2=100.0, delta=7)
+    np.testing.assert_array_equal(out["left"], [10, 17, 25, 37])
 
 
 def test_bucket_pass_matches_numpy():
