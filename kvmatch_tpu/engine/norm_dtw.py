@@ -129,7 +129,7 @@ class NormQueryEngineDtw(NormQueryEngine):
             ok_h = (np.abs(mu_h - mu_q) <= beta) & (ratio_h <= alpha) & \
                    (ratio_h >= 1.0 / alpha) & (sd_h > 0)
             z = (x - mu_h[:, None]) / np.where(sd_h > 0, sd_h, 1.0)[:, None]
-            d2h = dtw_banded_batch_f64(z, zq, rho)
+            d2h = dtw_banded_batch_f64(z, zq, rho, ub=ctx.eps2)
             keep = ok_h & (d2h <= ctx.eps2)
             return p[keep], np.sqrt(d2h[keep])
 

@@ -74,7 +74,7 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_long, _I64, _I64, _F64, _I64, _I64, _F64]
     lib.dtw_band_f64.restype = None
     lib.dtw_band_f64.argtypes = [
-        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_double,
         _F64, _F64, _F64, _F64]
     lib.bucket_pass.restype = None
     lib.bucket_pass.argtypes = [
@@ -437,8 +437,12 @@ def merge_rows(row_start, row_end, left, right):
     return orow[:k], ol[:k], orr[:k]
 
 
-def dtw_band_f64(a_batch: np.ndarray, q: np.ndarray, r: int):
-    """Exact float64 banded DTW distances^2 for (B, L) windows, or None."""
+def dtw_band_f64(a_batch: np.ndarray, q: np.ndarray, r: int,
+                 ub: float = float("inf")):
+    """Exact float64 banded DTW distances^2 for (B, L) windows, or None.
+
+    With a finite ``ub``, windows whose distance provably exceeds ub are
+    early-abandoned and report a value > ub (not their exact distance)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -447,7 +451,7 @@ def dtw_band_f64(a_batch: np.ndarray, q: np.ndarray, r: int):
     nb, m = a_batch.shape
     out = np.empty(nb, np.float64)
     work = np.empty(2 * (m + 2), np.float64)
-    lib.dtw_band_f64(nb, m, int(r), a_batch, q, out, work)
+    lib.dtw_band_f64(nb, m, int(r), float(ub), a_batch, q, out, work)
     return out
 
 

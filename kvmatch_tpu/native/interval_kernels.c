@@ -326,11 +326,18 @@ long join_ed(
 
 /* Exact float64 banded DTW (Sakoe-Chiba radius r) for a batch of candidate
  * windows — the host confirmation kernel (semantics of DtwUtils.dtw,
- * DtwUtils.java:269-337, without early abandon).  a: (nb, m) row-major windows,
- * q: (m,) query, out: (nb,) squared distances.  work: scratch of 2*(m+2).
- */
+ * DtwUtils.java:269-337).  a: (nb, m) row-major windows, q: (m,) query,
+ * out: (nb,) squared distances.  work: scratch of 2*(m+2).
+ *
+ * `ub`: early-abandon upper bound — when every cell of a DP row exceeds ub,
+ * the true distance provably exceeds ub (DP values are non-decreasing along
+ * paths), so the row's minimum is emitted and the window abandoned.  The
+ * reference's cb[] cascade (DtwUtils.java:299-306) serves the same purpose;
+ * at the cNSM-DTW north-star shape the ~85% of near-candidates that are
+ * rejects abandon after a small fraction of the L x (2r+1) band.  Exact
+ * answers (distance <= ub) are never abandoned.  Pass HUGE_VAL to disable. */
 void dtw_band_f64(
-    long nb, long m, long r,
+    long nb, long m, long r, double ub,
     const double *a, const double *q, double *out, double *work)
 {
     double *prev = work;
@@ -339,11 +346,13 @@ void dtw_band_f64(
     for (long b = 0; b < nb; b++) {
         const double *x = a + b * m;
         for (long j = 0; j <= m; j++) prev[j] = INF;
+        double result = INF;
         for (long i = 0; i < m; i++) {
             long j_lo = i - r < 0 ? 0 : i - r;
             long j_hi = i + r >= m ? m - 1 : i + r;
             for (long j = 0; j <= m; j++) cur[j] = INF;
             double run = INF;
+            double rowmin = INF;
             for (long j = j_lo; j <= j_hi; j++) {
                 double d = x[i] - q[j];
                 d *= d;
@@ -357,10 +366,13 @@ void dtw_band_f64(
                 }
                 run = best + d;
                 cur[j + 1] = run;
+                if (run < rowmin) rowmin = run;
             }
+            if (rowmin > ub) { result = rowmin; break; }  /* early abandon */
             double *t = prev; prev = cur; cur = t;
+            result = prev[m];
         }
-        out[b] = prev[m];
+        out[b] = result;
     }
 }
 

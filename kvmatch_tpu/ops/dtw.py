@@ -132,11 +132,15 @@ def lb_kim_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray) -> jnp.ndarray:
     return lb
 
 
-def dtw_banded_batch_f64(a_batch: np.ndarray, q: np.ndarray, r: int) -> np.ndarray:
+def dtw_banded_batch_f64(a_batch: np.ndarray, q: np.ndarray, r: int,
+                         ub: float = float("inf")) -> np.ndarray:
     """Float64 banded DTW for host confirmation: native C per-candidate DP when
-    available (200x the NumPy row loop), exact-match NumPy twin otherwise."""
+    available (200x the NumPy row loop), exact-match NumPy twin otherwise.
+    A finite ``ub`` enables sound early abandon: windows whose distance
+    provably exceeds ub report a value > ub instead of the exact distance —
+    valid whenever the caller only keeps distances <= ub."""
     from ..native import dtw_band_f64
-    res = dtw_band_f64(a_batch, q, r)
+    res = dtw_band_f64(a_batch, q, r, ub)
     if res is not None:
         return res
     return _dtw_banded_batch_f64_np(a_batch, q, r)
