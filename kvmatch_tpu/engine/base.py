@@ -474,6 +474,11 @@ class BaseEngine:
                 cs = nxt  # already in the next segment's frame
             else:
                 self._track_min_eps(nxt, ctx)
+                # NOTE: on the join path nxt's payload columns are ping-pong
+                # scratch views (native._PING), and shift/merge_intervals may
+                # return them UNCOPIED — cs can alias the pools until the next
+                # native call flips the generation.  Sound only under the
+                # shared-ping invariant documented at native._PING.
                 cs = iv.merge_intervals(iv.shift(nxt, delta))
             ctx.stats.n_segments_used = i + 1
             if cs["left"].size:

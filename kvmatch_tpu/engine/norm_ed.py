@@ -230,9 +230,11 @@ class NormQueryEngine(BaseEngine):
         if rows.size == 0:
             return iv.empty_set(("ex_lo", "ex2_lo", "ex_up", "ex2_up", "beta"))
         p_left, p_right, p_row = sc.pos_sorted()
+        i0, i1 = int(rows[0]), int(rows[-1]) + 1
         return native.join_norm(
-            cs, p_left, p_right, p_row, int(rows[0]), int(rows[-1]) + 1,
+            cs, p_left, p_right, p_row, i0, i1,
             payloads, ctx.eps2,
+            row_total=int(sc.row_ptr[i1] - sc.row_ptr[i0]),
             use_beta=self.qcfg.enable_beta_partition,
             use_std=self.qcfg.enable_std_filter,
             unit=self.icfg.unit, qlen=ctx.length, p_units=ctx.processed_units,

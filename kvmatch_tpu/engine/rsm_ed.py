@@ -100,9 +100,10 @@ class QueryEngine(BaseEngine):
         if rows.size == 0:
             return iv.empty_set(("eps",))
         p_left, p_right, p_row = sc.pos_sorted()
-        return native.join_ed(cs, p_left, p_right, p_row,
-                              int(rows[0]), int(rows[-1]) + 1, eps_row,
-                              ctx.eps2, self.icfg.maximum_diff)
+        i0, i1 = int(rows[0]), int(rows[-1]) + 1
+        return native.join_ed(cs, p_left, p_right, p_row, i0, i1, eps_row,
+                              ctx.eps2, self.icfg.maximum_diff,
+                              row_total=int(sc.row_ptr[i1] - sc.row_ptr[i0]))
 
     def _combine(self, pieces, a, b, ia, ib, ctx: _Ctx) -> Dict[str, np.ndarray]:
         eps_sum = a["eps"][ia] + b["eps"][ib]

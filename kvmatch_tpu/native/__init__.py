@@ -211,6 +211,19 @@ def _cf(a) -> np.ndarray:
 # while the NEXT intersection (which reads it as input) writes — two alternating
 # pools give exactly that lifetime without copying outputs (phase 1 consumes a
 # candidate set in the iteration after it is produced, then drops it).
+#
+# SHARED-PING INVARIANT (correctness-critical): on the engines' join path the
+# live candidate set CS can be an *uncopied view* of one generation of these
+# pools — utils.intervals.shift copies only left/right and merge_intervals has
+# a return-input fast path for already-sorted-disjoint sets, so CS payload
+# columns (eps, ex_*, beta) may alias f"ied*"/f"inorm*" scratch directly
+# (engine/base.py:_phase1).  This is safe only because EVERY native producer
+# that writes these pools (intersect_ed/intersect_norm/join_ed/join_norm)
+# flips the SAME _PING counter for its family exactly once per call, so the
+# generation CS aliases is never written before CS is consumed.  Any new
+# kernel that writes a pool without flipping the counter, or flips it more
+# than once per phase-1 iteration, silently corrupts the running candidate
+# set — flip first, write the fresh generation only.
 _PING = {"ied": 0, "inorm": 0}
 
 
@@ -344,18 +357,24 @@ def scan_fill(p_left, p_right, p_row, a: int, b: int, i0: int, i1: int,
 
 
 def join_ed(cs: dict, p_left, p_right, p_row, i0: int, i1: int,
-            row_eps, eps2: float, max_diff: int):
+            row_eps, eps2: float, max_diff: int, row_total: int | None = None):
     """Fused scan+intersect join of the running candidate set against the
     probed rows' intervals via the position-sorted view (binary search per CS
     interval — O(|CS| log P) instead of an O(P) walk).  Returns a cs-style
     dict of ping-pong scratch VIEWS (same lifetime as intersect_ed) or None
-    when native is unavailable."""
+    when native is unavailable.
+
+    ``row_total`` is the interval count of the probed rows [i0, i1) — the
+    kernel's true output bound.  Without it the scratch is sized to the whole
+    position-sorted view, which at n=1e9 scales transiently allocates tens of
+    GB of host memory exactly when the join path is chosen."""
     lib = get_lib()
     if lib is None:
         return None
     ncs = int(cs["left"].size)
-    row_total = int(p_row.size)  # callers pass the full view; cap generously
-    cap = ncs + row_total
+    if row_total is None:
+        row_total = int(p_row.size)  # conservative fallback
+    cap = ncs + int(row_total)
     g = _PING["ied"] = 1 - _PING["ied"]
     ol = _scratch(f"ied_l{g}", cap, np.int64)
     orr = _scratch(f"ied_r{g}", cap, np.int64)
@@ -378,14 +397,17 @@ def join_norm(cs: dict, p_left, p_right, p_row, i0: int, i1: int,
               row_payloads: dict, eps2: float, use_beta: bool, use_std: bool,
               unit: int, qlen: int, p_units: int,
               alpha: float, beta: float, mu_q: float, sd_q: float,
-              max_diff: int):
-    """cNSM fused scan+intersect join (see join_ed); returns a cs-style dict
-    of ping-pong scratch VIEWS or None when native is unavailable."""
+              max_diff: int, row_total: int | None = None):
+    """cNSM fused scan+intersect join (see join_ed, incl. the ``row_total``
+    scratch bound); returns a cs-style dict of ping-pong scratch VIEWS or None
+    when native is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
     ncs = int(cs["left"].size)
-    cap = ncs + int(p_row.size)
+    if row_total is None:
+        row_total = int(p_row.size)  # conservative fallback
+    cap = ncs + int(row_total)
     g = _PING["inorm"] = 1 - _PING["inorm"]
     out = {name: _scratch(f"inorm{g}_{name}", cap,
                           np.uint64 if name == "beta" else

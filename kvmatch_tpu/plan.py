@@ -101,18 +101,18 @@ def determine_query_plan(
 
     INF = float("inf")
     dp = np.full((max_j + 1, m + 1), INF)
-    pre = np.full((max_j + 1, m + 1), -1, np.int8)
+    pre = np.full((max_j + 1, m + 1), -1, np.int16)
     dp[0, 0] = 0.0
     for j in range(1, max_j + 1):
         best = np.full(m + 1, INF)
-        best_k = np.full(m + 1, -1, np.int8)
+        best_k = np.full(m + 1, -1, np.int16)
         for k in enabled_k:
             # segment covers units [i-k, i-1] -> ends at i in [k, m]
             cand = dp[j - 1, : m - k + 1] + costs[k]
             cur = best[k:]
             better = cand < cur
             best[k:] = np.where(better, cand, cur)
-            best_k[k:] = np.where(better, np.int8(k), best_k[k:])
+            best_k[k:] = np.where(better, np.int16(k), best_k[k:])
         dp[j] = best
         pre[j] = best_k
 
@@ -200,17 +200,17 @@ def determine_query_plans_batched(
 
     INF = float("inf")
     dp = np.full((max_j + 1, Q, m + 1), INF)
-    pre = np.full((max_j + 1, Q, m + 1), -1, np.int8)
+    pre = np.full((max_j + 1, Q, m + 1), -1, np.int16)
     dp[0, :, 0] = 0.0
     for j in range(1, max_j + 1):
         best = np.full((Q, m + 1), INF)
-        best_k = np.full((Q, m + 1), -1, np.int8)
+        best_k = np.full((Q, m + 1), -1, np.int16)
         for k in enabled_k:
             cand = dp[j - 1, :, : m - k + 1] + costs[k]
             cur = best[:, k:]
             better = cand < cur
             best[:, k:] = np.where(better, cand, cur)
-            best_k[:, k:] = np.where(better, np.int8(k), best_k[:, k:])
+            best_k[:, k:] = np.where(better, np.int16(k), best_k[:, k:])
         dp[j] = best
         pre[j] = best_k
 
