@@ -101,12 +101,75 @@ class NormQueryEngineDtw(NormQueryEngine):
                 s_off.size, s_off.astype(np.int32),
                 s_qid, lo=min(self.qcfg.verify_batch, 1024))
             near_mask = d2 <= threshs[s_qid]
+            n_off, n_qid = s_off[near_mask], s_qid[near_mask]
+            # Double-single device confirm (see rsm_dtw._verify_multi): the
+            # near-threshold set gets ONE batched near-exact device DP instead
+            # of ~28 ms/candidate of host f64 DP — the round-2 cNSM-DTW wall.
+            # Candidates must also clear the alpha/beta constraints by more
+            # than the prefix-sum error margin to be accepted without the
+            # exact host pass (_confirm_dtw recomputes stats per window).
+            acc_m = bor_m = None
+            d2ds = mu64 = sd64 = None
+            if n_off.size:
+                from ..ops.dtw import ds_value, dtw_stage_znorm_ds_multi
+                c1, c2 = self._cumsums()
+                s1 = c1[n_off + L] - c1[n_off]
+                mu64 = s1 / L
+                var64 = np.maximum((c2[n_off + L] - c2[n_off]) / L
+                                   - mu64 * mu64, 0.0)
+                sd64 = np.sqrt(var64)
+                safe64 = np.where(sd64 > 0, sd64, 1.0)
+                hi, lo_, amp = vf.run_bucketed(
+                    lambda o, q, m, s: dtw_stage_znorm_ds_multi(
+                        data_dev, zq_m, o, q, m, s, L, rho),
+                    n_off.size, n_off.astype(np.int32), n_qid,
+                    mu64.astype(np.float32), safe64.astype(np.float32),
+                    lo=min(self.qcfg.verify_batch, 1024))
+                d2ds = ds_value(hi, lo_)
+                zqmax = np.array([float(np.abs(z).max()) for z in zqs])
+                g = vf.ds_guard(d2ds, L, amp.astype(np.float64)
+                                + zqmax[n_qid] + 1.0)
+                eps2s = np.array([c.eps2 for c in ctxs])[n_qid]
+                # constraint clearance: margin covers prefix-sum rounding
+                # (|err| <= ~4 eps64 |c1[o+L]| / L on the mean, analogous on
+                # the variance) so a clear pass here implies the exact
+                # window-recomputed stats pass too
+                alphas = np.array([c.params["alpha"] for c in ctxs])[n_qid]
+                betas = np.array([c.params["beta"] for c in ctxs])[n_qid]
+                mu_qs = np.array([c.params["_mu_q"] for c in ctxs])[n_qid]
+                sd_qs = np.array([c.params["_sd_q"] for c in ctxs])[n_qid]
+                eps64 = np.finfo(np.float64).eps
+                m_mu = 8.0 * eps64 * np.abs(c1[n_off + L]) / L + 1e-12
+                m_sd = (8.0 * eps64 * np.abs(c2[n_off + L]) / L
+                        / (2.0 * safe64) + 1e-12)
+                cons_clear = ((np.abs(mu64 - mu_qs) <= betas - m_mu)
+                              & (sd64 <= alphas * sd_qs - m_sd)
+                              & (sd64 >= sd_qs / alphas + m_sd)
+                              & (sd64 > 0))
+                cons_border = (~cons_clear
+                               & (np.abs(mu64 - mu_qs) <= betas + m_mu)
+                               & (sd64 <= alphas * sd_qs + m_sd)
+                               & (sd64 >= sd_qs / alphas - m_sd)
+                               & (sd64 > 0))
+                d_acc = d2ds <= eps2s - g
+                d_bor = ~d_acc & (d2ds <= eps2s + g)
+                acc_m = cons_clear & d_acc
+                bor_m = (cons_border & (d_acc | d_bor)) | (cons_clear & d_bor)
             for qi, ctx in enumerate(ctxs):
-                near = s_off[near_mask & (s_qid == qi)]
-                ctx.stats.n_host_rechecked = int(near.size)
-                if near.size == 0:
+                mine = n_qid == qi
+                if not mine.any():
+                    ctx.stats.n_host_rechecked = 0
                     continue
-                per_q[qi] = self._confirm_dtw(near, ctx)
+                acc = n_off[mine & acc_m]
+                border = n_off[mine & bor_m]
+                ctx.stats.n_host_rechecked = int(border.size)
+                parts = [(acc, np.sqrt(np.maximum(d2ds[mine & acc_m], 0.0)))]
+                if border.size:
+                    parts.append(self._confirm_dtw(border, ctx))
+                offs_q = np.concatenate([p[0] for p in parts])
+                dist_q = np.concatenate([p[1] for p in parts])
+                order = np.argsort(offs_q)
+                per_q[qi] = (offs_q[order], dist_q[order])
         return per_q
 
     def _confirm_dtw(self, near: np.ndarray, ctx: _Ctx):

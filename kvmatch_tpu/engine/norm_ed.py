@@ -311,6 +311,37 @@ class NormQueryEngine(BaseEngine):
         return keep
 
     # ---------------------------------------------------------------- phase 2
+    def _window_stats_margin(self, offsets: np.ndarray, L: int):
+        """Rigorous error bounds (m_mu, m_sd) on prefix-sum window stats vs a
+        direct f64 recompute over the window.
+
+        Differencing c1[o+L]-c1[o] cancels all rounding introduced BEFORE o,
+        but keeps the per-step rounding of the L cumsum steps inside the
+        window, each <= eps64 * |c1[j]| with |c1[j]| <= max(|c1[o]|,
+        |c1[o+L]|) + sum|x| over the window (<= L * max|data|).  So
+
+            |mean_ps - mean| <= 2 eps64 (max|c1 endpoint| + L amax)   [/1]
+            |var_ps  - var | <= 2 eps64 (max|c2 endpoint| + L amax^2)
+                                + 2 |mean| m_mu
+
+        and m_sd = m_var / (2 sd) for sd bounded away from 0.  The factor-2
+        safety absorbs the endpoint loads and the final difference rounding."""
+        c1, c2 = self._cumsums()
+        if not hasattr(self, "_abs_max"):
+            self._abs_max = float(np.abs(self.data).max())
+        eps64 = np.finfo(np.float64).eps
+        amax = self._abs_max
+        c1m = np.maximum(np.abs(c1[offsets]), np.abs(c1[offsets + L]))
+        c2m = np.maximum(np.abs(c2[offsets]), np.abs(c2[offsets + L]))
+        m_mu = 2.0 * eps64 * (c1m + L * amax) / L * 2.0 + 1e-15
+        mean = (c1[offsets + L] - c1[offsets]) / L
+        m_var = (2.0 * eps64 * (c2m + L * amax * amax) / L * 2.0
+                 + 2.0 * np.abs(mean) * m_mu + 1e-15)
+        var = np.maximum((c2[offsets + L] - c2[offsets]) / L - mean * mean, 0.0)
+        sd = np.sqrt(var)
+        m_sd = m_var / (2.0 * np.maximum(sd, np.sqrt(np.maximum(var - m_var, 1e-30))))
+        return m_mu, m_sd
+
     def _cumsums(self):
         """Cached float64 prefix sums of data and data^2 — O(1) window mean/std
         for any offset/length (the vectorized form of the reference's running

@@ -93,21 +93,48 @@ class QueryEngineDtw(QueryEngine):
                 s_off.size, s_off.astype(np.int32),
                 s_qid, lo=min(self.qcfg.verify_batch, 1024))
             near_mask = d2 <= threshs[s_qid]
+            n_off, n_qid = s_off[near_mask], s_qid[near_mask]
             cols = np.arange(L)
+            # Double-single device confirm of the near-threshold set: one
+            # batched launch replaces the per-candidate host f64 DP that was
+            # the round-2 cNSM/RSM-DTW wall.  Only candidates inside the
+            # (rigorously bounded, tests/test_dtw_guard.py) +-ds_guard band
+            # around eps^2 still go to the exact host pass.
+            acc_m = bor_m = None
+            if n_off.size:
+                from ..ops.dtw import ds_value, dtw_stage_ds_multi
+                hi, lo_, amax = vf.run_bucketed(
+                    lambda o, q: dtw_stage_ds_multi(data_dev, qm, o, q, L, rho),
+                    n_off.size, n_off.astype(np.int32), n_qid,
+                    lo=min(self.qcfg.verify_batch, 1024))
+                d2ds = ds_value(hi, lo_)
+                qmax = np.array([float(np.abs(c.query).max()) for c in ctxs])
+                g = vf.ds_guard(d2ds, L, amax.astype(np.float64)
+                                + qmax[n_qid] + 1.0)
+                eps2s = np.array([c.eps2 for c in ctxs])[n_qid]
+                acc_m = d2ds <= eps2s - g
+                bor_m = ~acc_m & (d2ds <= eps2s + g)
             for qi, ctx in enumerate(ctxs):
-                near = s_off[near_mask & (s_qid == qi)]
-                ctx.stats.n_host_rechecked = int(near.size)
-                if near.size == 0:
+                mine = n_qid == qi
+                if not mine.any():
+                    ctx.stats.n_host_rechecked = 0
                     continue
-
-                def piece(p, ctx=ctx):
-                    d2h = dtw_banded_batch_f64(
-                        self.data[p[:, None] + cols[None, :]], ctx.query, rho,
-                        ub=ctx.eps2)
-                    keep = d2h <= ctx.eps2
-                    return p[keep], np.sqrt(d2h[keep])
-
-                per_q[qi] = self._chunked_confirm(near, piece)
+                acc = n_off[mine & acc_m]
+                border = n_off[mine & bor_m]
+                ctx.stats.n_host_rechecked = int(border.size)
+                parts = [(acc, np.sqrt(np.maximum(d2ds[mine & acc_m], 0.0)))]
+                if border.size:
+                    def piece(p, ctx=ctx):
+                        d2h = dtw_banded_batch_f64(
+                            self.data[p[:, None] + cols[None, :]], ctx.query,
+                            rho, ub=ctx.eps2)
+                        keep = d2h <= ctx.eps2
+                        return p[keep], np.sqrt(d2h[keep])
+                    parts.append(self._chunked_confirm(border, piece))
+                offs_q = np.concatenate([p[0] for p in parts])
+                dist_q = np.concatenate([p[1] for p in parts])
+                order = np.argsort(offs_q)
+                per_q[qi] = (offs_q[order], dist_q[order])
         return per_q
 
     def _verify(self, offsets: np.ndarray, ctx: _Ctx) -> Tuple[np.ndarray, np.ndarray]:

@@ -64,23 +64,38 @@ def _band_dtw_rows(a_batch, q, r: int):
     return row, W
 
 
+# Rows evaluated per lax.scan step.  One row per step leaves the program
+# latency-bound (L tiny steps of (B, W) VPU work, round-2: 11.8k cands/s at
+# 0.4% of measured FLOPs); unrolling amortizes the per-step scan overhead
+# across UNROLL rows while computing bit-identical values (the row recurrence
+# is simply inlined UNROLL times per step).
+DTW_UNROLL = 8
+
+
 @functools.partial(jax.jit, static_argnames=("r",))
 def dtw_banded_batch(a_batch: jnp.ndarray, q: jnp.ndarray, r: int) -> jnp.ndarray:
     """Squared banded DTW distances for a (B, L) batch against one query (L,)."""
     Bsz, L = a_batch.shape
     row, W = _band_dtw_rows(a_batch, q, r)
+    U = DTW_UNROLL
+    steps = -(-L // U)
+
+    def step(P, s):
+        for t in range(U):
+            i = s * U + t
+            D, _ = row(P, i)
+            P = jnp.where(i < L, D, P)
+        return P, None
+
     # Derive the carry from a_batch so its sharding/vary-type matches the scan
     # body's output when this runs inside shard_map (shard-varying operand).
     P0 = jnp.full((Bsz, W), BIG) + 0.0 * a_batch[:, :1]
-    P, _ = jax.lax.scan(row, P0, jnp.arange(L))
+    P, _ = jax.lax.scan(step, P0, jnp.arange(steps))
     return P[:, r]
 
 
-@functools.partial(jax.jit, static_argnames=("r",))
-def dtw_banded_batch_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray,
-                           r: int) -> jnp.ndarray:
-    """Banded DTW where every batch row has its OWN query: a_batch (B, L) vs
-    q_batch (B, L) — the multi-query phase-2 path (one launch per query batch)."""
+def _band_dtw_rows_multi(a_batch, q_batch, r: int):
+    """Row recurrence with a per-row query; see _band_dtw_rows."""
     Bsz, L = a_batch.shape
     W = 2 * r + 1
     ks = jnp.arange(W)
@@ -100,9 +115,122 @@ def dtw_banded_batch_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray,
         D = jnp.where(valid[None, :], D, BIG)
         return D, None
 
+    return row, W
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def dtw_banded_batch_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray,
+                           r: int) -> jnp.ndarray:
+    """Banded DTW where every batch row has its OWN query: a_batch (B, L) vs
+    q_batch (B, L) — the multi-query phase-2 path (one launch per query batch)."""
+    Bsz, L = a_batch.shape
+    row, W = _band_dtw_rows_multi(a_batch, q_batch, r)
+    U = DTW_UNROLL
+    steps = -(-L // U)
+
+    def step(P, s):
+        for t in range(U):
+            i = s * U + t
+            D, _ = row(P, i)
+            P = jnp.where(i < L, D, P)
+        return P, None
+
     P0 = jnp.full((Bsz, W), BIG)
-    P, _ = jax.lax.scan(row, P0, jnp.arange(L))
+    P, _ = jax.lax.scan(step, P0, jnp.arange(steps))
     return P[:, r]
+
+
+# ---------------------------------------------------------------------------
+# Double-single (f32x2) banded DTW: near-exact DEVICE confirmation.
+#
+# The f32 DP's rounding error scales like eps32 * L * (d2 + cell magnitude)
+# (measured: scripts/measure_dtw_f32_error.py), which forces a guard band of
+# ~0.1-1.0 around eps^2 at L=8192 — and every candidate inside the band used
+# to pay a ~28 ms scalar f64 host confirmation (the round-2 cNSM-DTW wall:
+# ~292 candidates/query, ROADMAP round-2 notes).  Instead of shrinking the
+# band, this kernel re-runs the DP on device with DOUBLE-SINGLE accumulation:
+# every DP value is an unevaluated f32 pair (hi, lo) with |lo| <= ulp(hi)/2,
+# summed with TwoSum and compared lexicographically, giving ~2^-46 effective
+# accumulation precision at ~5x the f32 cell cost.  Residual error comes only
+# from the f32 INPUTS (cells, z-normalization) and is bounded well under 1e-3
+# for every workload shape (property tests in tests/test_dtw_guard.py), so
+# only candidates within +-guard_ds of eps^2 — typically none — still need
+# the host f64 pass.  Replaces the per-candidate early-abandon confirm loop
+# of QueryEngineDtw.java:385-452 at device batch throughput.
+
+
+def _ds_two_sum(ah, al, bh, bl):
+    """(ah + al) + (bh + bl) as a normalized double-single pair (Knuth TwoSum
+    on the high parts, error folded into the low parts, Fast2Sum renorm)."""
+    s = ah + bh
+    v = s - ah
+    e = (ah - (s - v)) + (bh - v)
+    lo = e + (al + bl)
+    hi = s + lo
+    lo = lo - (hi - s)
+    return hi, lo
+
+
+def _ds_min(ah, al, bh, bl):
+    take_a = (ah < bh) | ((ah == bh) & (al <= bl))
+    return jnp.where(take_a, ah, bh), jnp.where(take_a, al, bl)
+
+
+def _ds_cumsum(x, axis=1):
+    zero = jnp.zeros_like(x)
+    return jax.lax.associative_scan(
+        lambda a, b: _ds_two_sum(a[0], a[1], b[0], b[1]), (x, zero), axis=axis)
+
+
+def _ds_cummin(h, l, axis=1):
+    return jax.lax.associative_scan(
+        lambda a, b: _ds_min(a[0], a[1], b[0], b[1]), (h, l), axis=axis)
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def dtw_banded_batch_ds_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray,
+                              r: int):
+    """Banded DTW with double-single accumulation; returns the (hi, lo) f32
+    pair per candidate (combine as float64 on the host — f64 dtypes don't
+    exist on device without global x64).  hi+lo matches the exact-f64 DP on
+    the same f32 inputs to ~2^-40 relative; the remaining difference to the
+    f64-data twin is input rounding only."""
+    Bsz, L = a_batch.shape
+    W = 2 * r + 1
+    ks = jnp.arange(W)
+
+    def row(carry, i):
+        Ph, Pl = carry
+        j = i - r + ks
+        valid = (j >= 0) & (j < L)
+        qv = q_batch[:, jnp.clip(j, 0, L - 1)]
+        d = (a_batch[:, i][:, None] - qv) ** 2
+        d = jnp.where(valid[None, :], d, 0.0)
+        sh = jnp.concatenate([Ph[:, 1:], jnp.full((Bsz, 1), BIG, Ph.dtype)], axis=1)
+        sl = jnp.concatenate([Pl[:, 1:], jnp.zeros((Bsz, 1), Pl.dtype)], axis=1)
+        Mh, Ml = _ds_min(Ph, Pl, sh, sl)
+        first = jnp.where(ks == r, 0.0, BIG)[None, :]
+        Mh = jnp.where(i == 0, first, Mh)
+        Ml = jnp.where(i == 0, 0.0, Ml)
+        Ch, Cl = _ds_cumsum(d)
+        zero_col = jnp.zeros((Bsz, 1), d.dtype)
+        Cph = jnp.concatenate([zero_col, Ch[:, :-1]], axis=1)
+        Cpl = jnp.concatenate([zero_col, Cl[:, :-1]], axis=1)
+        Gh, Gl = _ds_two_sum(Mh, Ml, -Cph, -Cpl)
+        Gmh, Gml = _ds_cummin(Gh, Gl)
+        Dh, Dl = _ds_two_sum(Ch, Cl, Gmh, Gml)
+        Dh = jnp.where(valid[None, :], jnp.minimum(Dh, BIG), BIG)
+        Dl = jnp.where(valid[None, :] & (Dh < BIG), Dl, 0.0)
+        return (Dh, Dl), None
+
+    P0 = (jnp.full((Bsz, W), BIG, jnp.float32), jnp.zeros((Bsz, W), jnp.float32))
+    (Ph, Pl), _ = jax.lax.scan(row, P0, jnp.arange(L))
+    return Ph[:, r], Pl[:, r]
+
+
+def ds_value(hi, lo) -> np.ndarray:
+    """Combine a device (hi, lo) double-single pair into host float64."""
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
 
 
 def lb_keogh_multi(a_batch: jnp.ndarray, lo_batch: jnp.ndarray,
@@ -291,3 +419,37 @@ def dtw_stage_znorm_multi(data, zq_m, offs, qids, length: int, r: int):
     x = _gather_windows(data, offs, length)
     z, _, _ = _znorm_rows(x, length)
     return dtw_banded_batch_multi(z, zq_m[qids], r)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "r"))
+def dtw_stage_ds_multi(data, qm, offs, qids, length: int, r: int):
+    """Double-single DTW confirm stage (raw windows).
+
+    Returns (hi, lo, amax): the DS distance pair plus each window's max |value|
+    — the input-amplitude term of the guard bound (verify.ds_guard)."""
+    from .ed import _gather_windows
+    x = _gather_windows(data, offs, length)
+    hi, lo = dtw_banded_batch_ds_multi(x, qm[qids], r)
+    return hi, lo, jnp.max(jnp.abs(x), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "r"))
+def dtw_stage_znorm_ds_multi(data, zq_m, offs, qids, mu, sd, length: int,
+                             r: int):
+    """Double-single DTW confirm stage on z-normalized windows.
+
+    ``mu``/``sd`` are per-candidate window statistics computed EXACTLY on the
+    host (f64 prefix sums, rounded to f32): an on-device f32 mean of an
+    L=8192 window could drift by ~L*eps32 and shift every z coherently, which
+    would dominate the guard band; host stats reduce the input error to
+    elementwise f32 rounding.  Returns (hi, lo, amp) with
+    amp = (max|x| + |mu| + sd) / sd per row — the z-space image of the RAW
+    data's f32 rounding (delta_z ~ eps32 * (|x| + |mu|) / sd, which dominates
+    eps32 * |z| whenever the series rides a large common-mode offset) for the
+    guard bound (verify.ds_guard)."""
+    from .ed import _gather_windows
+    x = _gather_windows(data, offs, length)
+    z = (x - mu[:, None]) / sd[:, None]
+    hi, lo = dtw_banded_batch_ds_multi(z, zq_m[qids], r)
+    amp = (jnp.max(jnp.abs(x), axis=1) + jnp.abs(mu) + sd) / sd
+    return hi, lo, amp

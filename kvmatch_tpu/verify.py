@@ -76,6 +76,36 @@ def guard_threshold(eps2: float, length: int, guard: float) -> float:
     return guard * (eps2 + 1.0) + 1e-4 * length
 
 
+#: Safety factor for ds_guard.  The measured worst case over adversarial data
+#: (scripts/measure_dtw_f32_error.py, tests/test_dtw_guard.py) needs C ~ a few;
+#: 32 leaves >8x margin while keeping the band ~30x tighter than the f32 guard.
+DS_GUARD_C = 32.0
+
+_EPS32 = float(np.finfo(np.float32).eps)
+
+
+def ds_guard(d2: np.ndarray, length: int, amp: np.ndarray) -> np.ndarray:
+    """Error bound for the double-single banded-DTW device distance vs the
+    exact f64 pipeline on f64 inputs (ops/dtw.dtw_banded_batch_ds_multi).
+
+    The DS accumulation itself is exact to ~2^-46, so the bound is dominated by
+    f32 INPUT rounding: each input element carries |delta| <= eps32 * amp, and a
+    warping path of length <= 2L perturbs d2 by at most
+
+        2 * sum_path |a - q| * delta + path * delta^2
+        <= 2 * sqrt(2L * d2) * eps32 * amp  +  2L * (eps32 * amp)^2      (C-S)
+
+    with ``amp`` the max |input| over the window and query (plus the coherent
+    mean/std rounding terms of the z-norm path, which have the same sqrt shape
+    — see dtw_stage_znorm_ds_multi).  DS_GUARD_C absorbs the constants; the
+    bound is validated against adversarial property tests in
+    tests/test_dtw_guard.py."""
+    amp = np.maximum(np.asarray(amp, np.float64), 1.0)
+    d2 = np.maximum(np.asarray(d2, np.float64), 0.0)
+    return (DS_GUARD_C * _EPS32 * np.sqrt(2.0 * length * (d2 + 1.0)) * amp
+            + 4.0 * length * (_EPS32 * amp) ** 2)
+
+
 def run_region_near(kernel: Callable, starts: np.ndarray, vfrom: np.ndarray,
                     vto: np.ndarray, qids: np.ndarray, near_k: int,
                     lo: int = 32, hi: int = 8192):
