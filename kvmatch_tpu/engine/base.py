@@ -549,7 +549,7 @@ class BaseEngine:
                 [self.data_dev, jnp.full(pad, FLY_FILL, jnp.float32)]))
         return self._fly_data[1]
 
-    def _device_dense_phase1(self, ctxs, seg_lists):
+    def _device_dense_phase1(self, ctxs, seg_lists, gap: int = 1):
         """Run the fly dense probe for a same-length query group; returns
         (counts i32[Q], positions i32[Q, K] position-ordered)."""
         import jax.numpy as jnp
@@ -575,9 +575,38 @@ class BaseEngine:
         else:
             cons = jnp.zeros((len(ctxs), 4), jnp.float32)
         n_off, n_runs, run_l, run_r = step(data_p, segs, eps2, cons,
-                                           jnp.int32(self.n))
+                                           jnp.int32(self.n), jnp.int32(gap))
         return (np.asarray(n_off), np.asarray(n_runs), np.asarray(run_l),
                 np.asarray(run_r), cand_k)
+
+    def _dense_probe_retry(self, ctxs, seg_lists):
+        """Fly probe with a gap-coalescing retry schedule: queries whose
+        run-compressed candidate set overflows the K-run buffer at gap=1 are
+        re-probed with growing coalescing gaps (unit, 8*unit, 64*unit) so a
+        fragmented flood (>8M runs at n=1e8 cNSM) collapses into bounded
+        intervals instead of falling back to host interval algebra.  Interior
+        gap positions are over-coverage the exact phase 2 rejects.  Returns
+        {query_index_in_group: (left i64, right i64)}; queries still
+        overflowing at the widest gap are absent (callers host-fallback)."""
+        out = {}
+        pending = set(range(len(ctxs)))
+        unit = self.icfg.unit
+        # Re-probe the FULL group each round: the probe program is shape-keyed
+        # on Q, so shrinking the group would recompile (minutes on a tunnel
+        # link); one redundant pass over solved queries is far cheaper.
+        for gap in (1, unit, 8 * unit, 64 * unit):
+            n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
+                ctxs, seg_lists, gap=gap)
+            for qi in sorted(pending):
+                ctxs[qi].stats.n_candidates = int(n_off[qi])
+                if n_runs[qi] <= cand_k:
+                    k = int(n_runs[qi])
+                    out[qi] = (run_l[qi][:k].astype(np.int64),
+                               run_r[qi][:k].astype(np.int64))
+            pending -= set(out)
+            if not pending:
+                break
+        return out
 
     @staticmethod
     def _positions_to_intervals(offs: np.ndarray):
@@ -597,16 +626,13 @@ class BaseEngine:
         frame."""
         if self._dense_route(segments):
             t0 = time.perf_counter()
-            n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
-                [ctx], [segments])
-            if n_runs[0] <= cand_k:
+            res = self._dense_probe_retry([ctx], [segments])
+            if 0 in res:
                 ctx.stats.t_phase1_ms = (time.perf_counter() - t0) * 1e3
                 ctx.stats.n_scans = len(segments)
                 ctx.stats.n_segments_used = len(segments)
-                k = int(n_runs[0])
-                return (run_l[0][:k].astype(np.int64),
-                        run_r[0][:k].astype(np.int64))
-            # overflow: exact fallback through the host path
+                return res[0]
+            # overflow at every coalescing gap: exact host fallback
         cs, last_segment = self._phase1(segments, ctx)
         return self._candidate_intervals(cs, last_segment, ctx.length)
 
@@ -664,19 +690,15 @@ class BaseEngine:
                              eps2=float(eps[qi]) ** 2, params=dict(params),
                              stats=QueryStats()))
         seg_lists = self._plan_batch(ctxs)
-        n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
-            ctxs, seg_lists)
+        dense_res = self._dense_probe_retry(ctxs, seg_lists)
 
         cand_ivs = []
         for qi, ctx in enumerate(ctxs):
-            ctx.stats.n_candidates = int(n_off[qi])
-            if n_runs[qi] > cand_k:
+            if qi in dense_res:
+                cand_ivs.append(dense_res[qi])
+            else:
                 cs, last = self._phase1(seg_lists[qi], ctx)
                 cand_ivs.append(self._candidate_intervals(cs, last, L))
-            else:
-                k = int(n_runs[qi])
-                cand_ivs.append((run_l[qi][:k].astype(np.int64),
-                                 run_r[qi][:k].astype(np.int64)))
         per_query = self._verify_multi(cand_ivs, ctxs)
         t_end = _time.perf_counter()
         results = []
@@ -715,17 +737,15 @@ class BaseEngine:
         for g in range(0, len(dense_q), self.DENSE_PROBE_GROUP):
             grp = dense_q[g: g + self.DENSE_PROBE_GROUP]
             t0d = time.perf_counter()
-            n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
-                [ctxs[qi] for qi in grp], [seg_lists[qi] for qi in grp])
+            grp_res = self._dense_probe_retry([ctxs[qi] for qi in grp],
+                                              [seg_lists[qi] for qi in grp])
             dt = (time.perf_counter() - t0d) * 1e3 / len(grp)
             for j, qi in enumerate(grp):
-                if n_runs[j] <= cand_k:
+                if j in grp_res:
                     ctxs[qi].stats.t_phase1_ms = dt
                     ctxs[qi].stats.n_scans = len(seg_lists[qi])
                     ctxs[qi].stats.n_segments_used = len(seg_lists[qi])
-                    k = int(n_runs[j])
-                    dense_res[qi] = (run_l[j][:k].astype(np.int64),
-                                     run_r[j][:k].astype(np.int64))
+                    dense_res[qi] = grp_res[j]
         for qi in range(nq):
             ctx = ctxs[qi]
             if qi in dense_res:

@@ -347,8 +347,17 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
     gaps, so tens of millions of candidate offsets fit a 1M-run buffer.  The
     intervals come out position-sorted and disjoint — ready for phase 2.
 
+    ``gap`` (traced i32 >= 1) makes the compaction GAP-TOLERANT: candidate
+    runs separated by fewer than ``gap`` unmasked positions are coalesced
+    into one interval (VERDICT r2 item 3).  Interior gap positions become
+    over-coverage that the exact phase 2 rejects — sound by construction —
+    while the run count drops enough that flood workloads (cNSM at n=1e8
+    fragments into >8M runs/query at gap=1) stay inside the K-run buffer
+    instead of falling back to host interval algebra.  Emitted left/right
+    edges are always true candidate positions (no edge widening).
+
     Args: (data_padded f32[n + fly_pad_for(...)], segs DenseSegments (leading
-    Q), eps2 f32[Q], cons f32[Q, 4], n_total i32) ->
+    Q), eps2 f32[Q], cons f32[Q, 4], n_total i32, gap i32) ->
     (n_offsets i32[Q], n_runs i32[Q], run_left i32[Q, K], run_right
     i32[Q, K]); n_runs > K flags overflow (truncated output).
     """
@@ -358,8 +367,10 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
     w_max = max(scales)
     unit = icfg.unit
     slack = np.float32(icfg.probe_guard)
+    NEG = np.int32(-(1 << 30))
+    POS = np.int32(1 << 30)
 
-    def step(data_padded, segs: DenseSegments, eps2, cons, n_total):
+    def step(data_padded, segs: DenseSegments, eps2, cons, n_total, gap):
         Q = eps2.shape[0]
         npad = data_padded.shape[0]
         n_hi = npad - fly_pad_for(length, w_max)  # >= true n; bounds the loop
@@ -368,6 +379,9 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
         m = n_total - length + 1
         K = cand_k
         qrows = jnp.arange(Q)[:, None]
+        # A whole empty block always separates runs (gap < blk assumed; the
+        # engine clamps its retry schedule to blk // 2).
+        gap = jnp.minimum(gap, jnp.int32(blk - 1))
 
         def probe_one(bwin, sg, c):
             if norm:
@@ -376,7 +390,7 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
             return _dense_probe(bwin, sg, unit, icfg.d, blk, slack)
 
         def body(b, carry):
-            n_off, n_runs, n_ends, out_l, out_r, open_ = carry
+            n_off, n_runs, n_ends, out_l, out_r, last_carry = carry
             p0 = b * blk
             need = blk + length + w_max
             piece = jax.lax.dynamic_slice(data_padded, (p0,), (need,))
@@ -387,16 +401,30 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
             pos = p0 + jnp.arange(blk, dtype=jnp.int32)
             mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
 
-            # Run starts: masked with an unmasked predecessor (the carry bit
-            # `open_` is the last position of the previous block).
-            prev = jnp.concatenate([open_[:, None], mask[:, :-1]], axis=1)
-            starts_m = mask & ~prev
-            # Run ends inside this block (the last column defers to the carry).
-            nxt = jnp.concatenate([mask[:, 1:], jnp.ones((Q, 1), bool)], axis=1)
-            ends_m = mask & ~nxt
-            # A run open at the block boundary that does NOT continue closes
-            # at p0 - 1.
-            close_prev = open_ & ~mask[:, 0]
+            # last masked position at-or-before each column (NEG when none),
+            # seeded with the carried last masked position of earlier blocks
+            posm = jnp.where(mask, pos[None, :], NEG)
+            lastp = jax.lax.associative_scan(jnp.maximum, posm, axis=1)
+            lastp_prev = jnp.concatenate(
+                [last_carry[:, None], jnp.maximum(lastp[:, :-1],
+                                                  last_carry[:, None])], axis=1)
+            # next masked position at-or-after each column (POS when none)
+            posM = jnp.where(mask, pos[None, :], POS)
+            nextp = jax.lax.associative_scan(jnp.minimum, posM, axis=1,
+                                             reverse=True)
+            nextp_next = jnp.concatenate(
+                [nextp[:, 1:], jnp.full((Q, 1), POS, jnp.int32)], axis=1)
+
+            # Run starts: masked with the previous masked position > gap back.
+            starts_m = mask & (pos[None, :] - lastp_prev > gap)
+            # Run ends resolved inside this block: the next masked position is
+            # known AND > gap ahead.  The block's last masked position always
+            # defers to the carry (its successor may be in a later block).
+            ends_m = mask & (nextp_next - pos[None, :] > gap) & (nextp_next < POS)
+            # The carried run closes at last_carry when this block proves the
+            # gap: first masked position (or block end, if empty) > gap away.
+            first_pos = jnp.minimum(nextp[:, 0], p0 + blk)
+            close_prev = (last_carry > NEG) & (first_pos - last_carry > gap)
 
             loc_s = jnp.cumsum(starts_m.astype(jnp.int32), axis=1) - 1
             dest_s = jnp.where(starts_m, n_runs[:, None] + loc_s, K)
@@ -405,7 +433,8 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
 
             e_base = n_ends + close_prev.astype(jnp.int32)
             out_r = out_r.at[jnp.arange(Q), jnp.minimum(
-                jnp.where(close_prev, n_ends, K), K)].set(p0 - 1, mode="drop")
+                jnp.where(close_prev, n_ends, K), K)].set(last_carry,
+                                                          mode="drop")
             loc_e = jnp.cumsum(ends_m.astype(jnp.int32), axis=1) - 1
             dest_e = jnp.where(ends_m, e_base[:, None] + loc_e, K)
             out_r = out_r.at[qrows, jnp.minimum(dest_e, K)].set(
@@ -414,20 +443,25 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
             n_off = n_off + jnp.sum(mask.astype(jnp.int32), axis=1)
             n_runs = n_runs + jnp.sum(starts_m.astype(jnp.int32), axis=1)
             n_ends = e_base + jnp.sum(ends_m.astype(jnp.int32), axis=1)
-            return n_off, n_runs, n_ends, out_l, out_r, mask[:, -1]
+            # New carry: last masked position in this block; if none, the old
+            # carry survives only when it was not just closed.
+            last_new = jnp.where(
+                lastp[:, -1] > NEG, lastp[:, -1],
+                jnp.where(close_prev, NEG, last_carry))
+            return n_off, n_runs, n_ends, out_l, out_r, last_new
 
         carry0 = (jnp.zeros(Q, jnp.int32), jnp.zeros(Q, jnp.int32),
                   jnp.zeros(Q, jnp.int32),
                   jnp.zeros((Q, K + 1), jnp.int32),
                   jnp.zeros((Q, K + 1), jnp.int32),
-                  jnp.zeros(Q, bool))
-        n_off, n_runs, n_ends, out_l, out_r, open_ = jax.lax.fori_loop(
+                  jnp.full(Q, NEG, jnp.int32))
+        n_off, n_runs, n_ends, out_l, out_r, last_carry = jax.lax.fori_loop(
             0, nb, body, carry0)
         # Epilogue: a run still open after the last block ends at the last
-        # position the loop produced (only possible when m-1 is the final
-        # block's last column).
+        # masked position seen.
         out_r = out_r.at[jnp.arange(Q), jnp.minimum(
-            jnp.where(open_, n_ends, K), K)].set(m - 1, mode="drop")
+            jnp.where(last_carry > NEG, n_ends, K), K)].set(last_carry,
+                                                            mode="drop")
         return n_off, n_runs, out_l[:, :K], out_r[:, :K]
 
     return jax.jit(step, static_argnames=())

@@ -86,3 +86,54 @@ def test_fly_runs_cross_block_boundaries(setup, monkeypatch):
         assert off in rd.offsets.tolist()
         # run compression is exact: total offsets == sum of run lengths
         assert rd.stats.n_candidates == rd.stats.n_device_checked
+
+def test_gap_coalescing_overflow_recovery(setup, monkeypatch):
+    """Force a tiny run buffer so the gap=1 probe overflows: the retry
+    schedule must coalesce runs (gap=unit, ...) and still produce the exact
+    answer set (interior gap positions are over-coverage phase 2 rejects)."""
+    from kvmatch_tpu.engine import base as eb
+    data, idx = setup
+    monkeypatch.setattr(eb.BaseEngine, "DENSE_PROBE_K", 64)
+    monkeypatch.setattr(eb.BaseEngine, "DENSE_PROBE_K_BUDGET", 64)
+    eh = QueryEngine(data, index=idx, icfg=IndexConfig(),
+                     qcfg=QueryConfig(dense_probe_min_count=None))
+    ed = QueryEngine(data, index=idx, icfg=IndexConfig(),
+                     qcfg=QueryConfig(dense_probe_min_count=0))
+    for off, eps in [(2000, 10.0), (31000, 12.0)]:  # loose eps -> many runs
+        q = data[off:off + 512]
+        rh = eh.query(q, eps)
+        rd = ed.query(q, eps)
+        assert set(rh.offsets.tolist()) == set(rd.offsets.tolist())
+        assert off in rd.offsets.tolist()
+
+
+def test_gap_probe_intervals_cover_exact(setup):
+    """Direct probe-level property: for gap g, emitted intervals (a) have true
+    candidate positions as edges, (b) cover every gap=1 candidate, and (c)
+    only bridge interior gaps < g."""
+    import jax.numpy as jnp
+    from kvmatch_tpu.engine.base import _Ctx
+    from kvmatch_tpu.engine.base import QueryStats
+    data, idx = setup
+    eng = QueryEngine(data, index=idx, icfg=IndexConfig(),
+                      qcfg=QueryConfig(dense_probe_min_count=0))
+    q = data[2000:2512]
+    ctx = _Ctx(query=q, length=512, epsilon=10.0, eps2=100.0, params={},
+               stats=QueryStats())
+    segs = eng._plan(ctx)
+    n1, r1, l1_, rr1, _ = eng._device_dense_phase1([ctx], [segs], gap=1)
+    ng, rg, lg_, rrg, _ = eng._device_dense_phase1([ctx], [segs], gap=100)
+    assert n1[0] == ng[0]                     # candidate count is gap-invariant
+    assert rg[0] <= r1[0]
+    k1, kg = int(r1[0]), int(rg[0])
+    iv1 = list(zip(l1_[0][:k1].tolist(), rr1[0][:k1].tolist()))
+    ivg = list(zip(lg_[0][:kg].tolist(), rrg[0][:kg].tolist()))
+    exact_edges = {x for l, r in iv1 for x in (l, r)}
+    for l, r in ivg:
+        assert l in exact_edges and r in exact_edges     # (a)
+    covered = [(l, r) for l, r in ivg]
+    for l, r in iv1:
+        assert any(cl <= l and r <= cr for cl, cr in covered)   # (b)
+    # (c): consecutive coalesced intervals are separated by >= gap
+    for (l0, r0), (l1b, _) in zip(ivg, ivg[1:]):
+        assert l1b - r0 > 100
