@@ -98,8 +98,11 @@ class BaseEngine:
         self.icfg = icfg
         self.qcfg = qcfg
         self.index = index if index is not None else build_index_tpu(self.data, icfg)
-        self.data_dev = device_data if device_data is not None \
-            else jnp.asarray(self.data, jnp.float32)
+        from ..ops.ed import pad_to_tiles
+        # Right-padded to a GATHER_TILE multiple so every phase-2 window/region
+        # gather takes the tiled barrel-shift fast path (ops/ed._gather_windows).
+        self.data_dev = pad_to_tiles(device_data if device_data is not None
+                                     else jnp.asarray(self.data, jnp.float32))
 
     # ------------------------------------------------------------------ helpers
     def scale(self, w: int) -> IndexScale:

@@ -1,0 +1,330 @@
+"""Fully device-side KV-index construction (VERDICT r2 item 6).
+
+Round 2's builder ran the bucket pass on device (1.84 Gpts/s) but grouped on
+the host, capping end-to-end build at single-digit Mpts/s on this one-core
+box.  This module keeps the WHOLE pipeline on the TPU:
+
+    bucket ids -> RLE with the 256-position cap -> bucket histogram ->
+    row ids -> boundary-local merge policy -> segmented union + cap resplit ->
+    per-row statistics
+
+using only prefix scans, cumsums and integer scatters (deterministic on TPU)
+— no sort: RLE emits intervals in position order, and because every window
+start has exactly one mean bucket, the intervals of a scale TILE the position
+axis, so "group by bucket" is a histogram + rank, and "union adjacent rows"
+is run detection over the position-ordered stream.
+
+The variable-width row merge (IndexBuilder.java:308-346) is re-expressed
+TPU-natively: the reference scans keys descending and merges row k into an
+ACCUMULATED group when count_k < 1.2*avg and the accumulated union shrinks
+20%; here each key boundary decides INDEPENDENTLY from the pairwise test
+
+    count_lo < merge_count_factor * avg   and
+    adjacency_joins(lo, hi) >= (1 - merge_shrink_factor) * (c_lo + c_hi)
+
+(adjacency_joins = position-adjacent interval pairs straddling the two rows =
+exactly the interval-count reduction their union would realize, ignoring the
+cap-resplit correction).  Decisions are embarrassingly parallel; connected
+merged boundaries form the same kind of variable-width rows.  The exact
+reference policy remains available through the host builder
+(index/build.py); engines are exact with either index (phase 2 confirms in
+float64 regardless of which rows fed phase 1).
+
+Outputs stay DEVICE-RESIDENT as the position-sorted interval view
+(piece_left, piece_right, piece_row); only row metadata (keys, counts,
+cumulative statistics — a few KB) crosses to the host at build time.  The
+host row-CSR view is materialized lazily on first host-path access
+(index/structure.IndexScale), so a build + fly-probe + device-verify query
+never pays the interval D2H at all.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import DEFAULT_INDEX_CONFIG, IndexConfig
+from ..utils import rounding
+from .structure import Index, IndexScale
+
+logger = logging.getLogger("kvmatch_tpu")
+
+#: Histogram capacity (distinct mean buckets) of the device pipeline.  At the
+#: default d=0.5 grid this covers a mean range of ~260k units — far beyond any
+#: real series; the host wrapper asserts the actual range fits and falls back
+#: to the host builder otherwise.
+NB = 1 << 20
+
+_SENT = np.int32(1 << 30)  # bucket sentinel for padded tail positions
+
+
+def _prefix_max(x, axis=0):
+    import jax
+    import jax.numpy as jnp
+    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+
+
+@functools.lru_cache(maxsize=1)
+def _scale_pipeline_jit():
+    import jax
+    return jax.jit(_scale_pipeline,
+                   static_argnames=("cap", "count_factor", "shrink_factor"))
+
+
+def _scale_pipeline(b, bucket_lo, n_valid, cap: int, count_factor: float,
+                    shrink_factor: float):
+    """One scale's full grouping pipeline on device.
+
+    b: i32[M] bucket ids, positions >= n_valid carry _SENT.
+    Returns (np_pieces, n_rows,
+             piece_left i32[M], piece_right i32[M], piece_row i32[M],
+             row_bucket i32[NB], row_n_iv i32[NB], row_n_off i32[NB])
+    with only the first np_pieces / n_rows entries meaningful.
+    """
+    import jax.numpy as jnp
+
+    M = b.shape[0]
+    pos = jnp.arange(M, dtype=jnp.int32)
+    valid = pos < n_valid
+
+    # --- RLE with cap ------------------------------------------------------
+    change = jnp.concatenate([jnp.ones(1, bool), b[1:] != b[:-1]])
+    run_start = _prefix_max(jnp.where(change, pos, -1))
+    within = pos - run_start
+    start = (change | (within % cap == 0)) & valid
+    iid = jnp.cumsum(start.astype(jnp.int32)) - 1     # interval id per position
+    n_iv = jnp.where(valid[-1], iid[-1] + 1,
+                     jnp.max(jnp.where(valid, iid, -1)) + 1)
+    dest = jnp.where(start, iid, M)
+    il = jnp.zeros(M + 1, jnp.int32).at[dest].set(pos, mode="drop")[:M]
+    ib = jnp.zeros(M + 1, jnp.int32).at[dest].set(b, mode="drop")[:M]
+    # interval k's right = (start position of interval k+1) - 1; last = n-1
+    ir = jnp.zeros(M + 1, jnp.int32).at[
+        jnp.where(start & (iid > 0), iid - 1, M)].set(pos - 1, mode="drop")[:M]
+    ir = ir.at[jnp.maximum(n_iv - 1, 0)].set(n_valid - 1)
+    iv_ok = jnp.arange(M) < n_iv
+
+    # --- histogram -> rows -------------------------------------------------
+    hidx = jnp.where(iv_ok, jnp.clip(ib - bucket_lo, 0, NB - 1), NB)
+    hist = jnp.zeros(NB + 1, jnp.int32).at[hidx].add(1, mode="drop")[:NB]
+    present = hist > 0
+    row_of_bucket = jnp.cumsum(present.astype(jnp.int32)) - 1
+    n_rows = jnp.sum(present.astype(jnp.int32))
+    r_iv = jnp.where(iv_ok, row_of_bucket[jnp.clip(ib - bucket_lo, 0, NB - 1)],
+                     -1)
+    # compact per-row arrays (row index <- bucket)
+    rdst = jnp.where(present, row_of_bucket, NB)
+    row_bucket0 = jnp.zeros(NB + 1, jnp.int32).at[rdst].set(
+        jnp.arange(NB, dtype=jnp.int32) + bucket_lo, mode="drop")[:NB]
+    row_counts = jnp.zeros(NB + 1, jnp.int32).at[rdst].set(hist,
+                                                           mode="drop")[:NB]
+
+    # --- boundary-local merge policy --------------------------------------
+    # adjacency joins between key-adjacent rows: consecutive intervals are
+    # always position-adjacent (the buckets tile the axis), so a pair (i, i+1)
+    # whose rows differ by exactly 1 is a union join for the lower row's
+    # boundary.
+    r_next = jnp.concatenate([r_iv[1:], jnp.full(1, -1, jnp.int32)])
+    pair_ok = iv_ok & (jnp.arange(M) < n_iv - 1) & \
+        (jnp.abs(r_next - r_iv) == 1) & (il[jnp.minimum(
+            jnp.arange(M) + 1, M - 1)] == ir + 1)
+    bnd = jnp.where(pair_ok, jnp.minimum(r_iv, r_next), NB)
+    joins = jnp.zeros(NB + 1, jnp.int32).at[bnd].add(1, mode="drop")[:NB]
+    avg = n_iv.astype(jnp.float32) / jnp.maximum(n_rows, 1).astype(jnp.float32)
+    c_lo = row_counts.astype(jnp.float32)
+    c_hi = jnp.concatenate([row_counts[1:], jnp.zeros(1, jnp.int32)]
+                           ).astype(jnp.float32)
+    merge_b = ((jnp.arange(NB) < n_rows - 1)
+               & (c_lo < jnp.float32(count_factor) * avg)
+               & (joins.astype(jnp.float32)
+                  >= jnp.float32(1.0 - shrink_factor) * (c_lo + c_hi)))
+    # group id per row: increments at unmerged boundaries (ascending scan)
+    grp_of_row = jnp.cumsum(
+        jnp.concatenate([jnp.zeros(1, jnp.int32),
+                         (~merge_b[:-1]).astype(jnp.int32)]))
+    n_groups = jnp.where(n_rows > 0, grp_of_row[jnp.maximum(n_rows - 1, 0)] + 1,
+                         0)
+    # group key = smallest bucket in the group = first row's bucket
+    gfirst = jnp.concatenate([jnp.ones(1, bool), grp_of_row[1:]
+                              != grp_of_row[:-1]]) & (jnp.arange(NB) < n_rows)
+    gdst = jnp.where(gfirst, grp_of_row, NB)
+    grp_bucket = jnp.zeros(NB + 1, jnp.int32).at[gdst].set(row_bucket0,
+                                                           mode="drop")[:NB]
+
+    # --- segmented union + cap resplit -------------------------------------
+    g_iv = jnp.where(iv_ok, grp_of_row[jnp.clip(r_iv, 0, NB - 1)], -1)
+    g_prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), g_iv[:-1]])
+    il_prev = jnp.concatenate([jnp.full(1, -9, jnp.int32), ir[:-1]])
+    ustart = iv_ok & ((g_iv != g_prev) | (il != il_prev + 1))
+    uid = jnp.cumsum(ustart.astype(jnp.int32)) - 1
+    n_runs = jnp.max(jnp.where(iv_ok, uid, -1)) + 1
+    udst = jnp.where(ustart, uid, M)
+    runL = jnp.zeros(M + 1, jnp.int32).at[udst].set(il, mode="drop")[:M]
+    rung = jnp.zeros(M + 1, jnp.int32).at[udst].set(
+        jnp.where(iv_ok, g_iv, 0), mode="drop")[:M]
+    # run right = right of its last interval: scatter interval rights at uid
+    # for run-last intervals — the next interval starts a new run, or this is
+    # the LAST VALID interval (whose successor is masked, so ustart[i+1] is
+    # False there and would silently drop the final run)
+    ulast = iv_ok & (jnp.concatenate([ustart[1:], jnp.ones(1, bool)])
+                     | (jnp.arange(M) == n_iv - 1))
+    runR = jnp.zeros(M + 1, jnp.int32).at[
+        jnp.where(ulast, uid, M)].set(ir, mode="drop")[:M]
+
+    run_ok = jnp.arange(M) < n_runs
+    run_len = jnp.where(run_ok, runR - runL + 1, 0)
+    pieces = (run_len + cap - 1) // cap
+    piece_ptr = jnp.cumsum(pieces) - pieces          # exclusive prefix
+    np_pieces = jnp.where(n_runs > 0,
+                          piece_ptr[jnp.maximum(n_runs - 1, 0)]
+                          + pieces[jnp.maximum(n_runs - 1, 0)], 0)
+    # piece j belongs to run rid(j) = searchsorted(piece_ptr_incl, j, right)
+    jidx = jnp.arange(M, dtype=jnp.int32)
+    incl = piece_ptr + pieces                        # inclusive prefix
+    rid = jnp.searchsorted(incl, jidx, side="right").astype(jnp.int32)
+    rid = jnp.clip(rid, 0, M - 1)
+    p_ok = jidx < np_pieces
+    p_left = jnp.where(p_ok, runL[rid] + (jidx - piece_ptr[rid]) * cap, 0)
+    p_right = jnp.where(p_ok, jnp.minimum(p_left + cap - 1, runR[rid]), -1)
+    p_row = jnp.where(p_ok, rung[rid], -1)
+
+    # --- per-group statistics ---------------------------------------------
+    sdst = jnp.where(p_ok, p_row, NB)
+    g_n_iv = jnp.zeros(NB + 1, jnp.int32).at[sdst].add(1, mode="drop")[:NB]
+    g_n_off = jnp.zeros(NB + 1, jnp.int32).at[sdst].add(
+        p_right - p_left + 1, mode="drop")[:NB]
+
+    return (np_pieces, n_groups, p_left, p_right, p_row,
+            grp_bucket, g_n_iv, g_n_off)
+
+
+def _numpy_twin_scale(b: np.ndarray, cap: int, count_factor: float,
+                      shrink_factor: float):
+    """Host mirror of _scale_pipeline (the semantics reference for tests).
+    Takes the raw bucket array (no padding); returns
+    (p_left, p_right, p_row, grp_bucket, g_n_iv, g_n_off)."""
+    m = b.size
+    pos = np.arange(m)
+    change = np.concatenate(([True], b[1:] != b[:-1]))
+    run_start = np.maximum.accumulate(np.where(change, pos, -1))
+    start = change | ((pos - run_start) % cap == 0)
+    il = pos[start]
+    ir = np.concatenate([il[1:] - 1, [m - 1]])
+    ib = b[il]
+    ub, r_iv, counts = np.unique(ib, return_inverse=True, return_counts=True)
+    R = ub.size
+    joins = np.zeros(R, np.int64)
+    dj = np.abs(np.diff(r_iv))
+    lo = np.minimum(r_iv[:-1], r_iv[1:])
+    np.add.at(joins, lo[dj == 1], 1)
+    # float32 decision arithmetic, mirroring the device kernel bit-for-bit
+    avg = np.float32(il.size) / np.float32(max(R, 1))
+    c_lo = counts.astype(np.float32)
+    c_hi = np.concatenate([counts[1:], [0]]).astype(np.float32)
+    merge_b = np.zeros(R, bool)
+    if R > 1:
+        merge_b[:-1] = (c_lo[:-1] < np.float32(count_factor) * avg) & \
+            (joins[:-1].astype(np.float32)
+             >= np.float32(1.0 - shrink_factor) * (c_lo[:-1] + c_hi[:-1]))
+    grp = np.concatenate(([0], np.cumsum(~merge_b[:-1]))).astype(np.int64)
+    gfirst = np.concatenate(([True], grp[1:] != grp[:-1]))
+    grp_bucket = ub[gfirst]
+    g_iv = grp[r_iv]
+    ustart = np.concatenate(
+        ([True], (g_iv[1:] != g_iv[:-1]) | (il[1:] != ir[:-1] + 1)))
+    runL = il[ustart]
+    uidx = np.flatnonzero(ustart)
+    ends = np.concatenate([uidx[1:] - 1, [il.size - 1]])
+    runR = ir[ends]
+    rung = g_iv[ustart]
+    run_len = runR - runL + 1
+    pieces = (run_len + cap - 1) // cap
+    rep = np.repeat(np.arange(runL.size), pieces)
+    offs = np.concatenate(([0], np.cumsum(pieces)[:-1]))
+    within = (np.arange(int(pieces.sum())) - np.repeat(offs, pieces)) * cap
+    p_left = runL[rep] + within
+    p_right = np.minimum(p_left + cap - 1, runR[rep])
+    p_row = rung[rep]
+    NG = int(grp.max()) + 1 if R else 0
+    g_n_iv = np.zeros(NG, np.int64)
+    np.add.at(g_n_iv, p_row, 1)
+    g_n_off = np.zeros(NG, np.int64)
+    np.add.at(g_n_off, p_row, p_right - p_left + 1)
+    return p_left, p_right, p_row, grp_bucket, g_n_iv, g_n_off
+
+
+def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+                       stats: Optional[dict] = None,
+                       keep_device: bool = True) -> Index:
+    """Build the full index family on the TPU; host receives row metadata only.
+
+    ``keep_device=True`` leaves the interval arrays device-resident
+    (IndexScale materializes host copies lazily); False pulls them eagerly
+    (tests / persistence).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..ops.sliding import build_buckets
+
+    data = np.asarray(data)
+    n = data.size
+    scales = tuple(cfg.scales)
+    cap = cfg.maximum_diff - 1
+    t0 = time.perf_counter()
+    data_dev = jnp.asarray(data, jnp.float32)
+    buckets = build_buckets(data_dev, scales, cfg.pos_of_d)
+
+    # bucket range from the data range (one tiny device reduce)
+    s = 10.0 ** (cfg.pos_of_d - 1)
+    dmin, dmax = float(jnp.min(data_dev)), float(jnp.max(data_dev))
+    bucket_lo = int(2 * np.floor(dmin * s)) - 2
+    bucket_hi = int(2 * np.floor(dmax * s)) + 3
+    if bucket_hi - bucket_lo >= NB:
+        raise ValueError(
+            f"mean-bucket range {bucket_hi - bucket_lo} exceeds the device "
+            f"histogram capacity {NB}; use the host builder for this data")
+
+    M = n - min(scales) + 1
+    index: Index = {}
+    for w in scales:
+        b = buckets[w]
+        m_w = b.shape[0]
+        if m_w < M:
+            b = jnp.concatenate([b, jnp.full(M - m_w, _SENT, jnp.int32)])
+        out = _scale_pipeline_jit()(b, jnp.int32(bucket_lo), jnp.int32(m_w),
+                                    cap, cfg.merge_count_factor,
+                                    cfg.merge_shrink_factor)
+        np_pieces, n_groups = int(out[0]), int(out[1])
+        p_left_d, p_right_d, p_row_d = out[2], out[3], out[4]
+        grp_bucket = np.asarray(out[5][:n_groups])
+        g_n_iv = np.asarray(out[6][:n_groups]).astype(np.int64)
+        g_n_off = np.asarray(out[7][:n_groups]).astype(np.int64)
+        keys = rounding.bucket_to_key(grp_bucket.astype(np.int64),
+                                      cfg.pos_of_d)
+        row_ptr = np.zeros(n_groups + 1, np.int64)
+        np.cumsum(g_n_iv, out=row_ptr[1:])
+        upper = float(rounding.bucket_to_key(int(grp_bucket[-1]) + 1,
+                                             cfg.pos_of_d)) \
+            if n_groups else float("inf")
+        sc = IndexScale(
+            w=w, n=n, keys=keys, row_ptr=row_ptr,
+            left=None, right=None,
+            cum_intervals=np.cumsum(g_n_iv), cum_offsets=np.cumsum(g_n_off),
+            mean_upper_bound=upper,
+            dev_pos_view=(p_left_d, p_right_d, p_row_d, np_pieces),
+        )
+        if not keep_device:
+            sc.materialize_host()
+        index[w] = sc
+        logger.debug("device build w=%d: %d pieces, %d rows", w, np_pieces,
+                     n_groups)
+    jax.block_until_ready([index[w].dev_pos_view[0] for w in scales])
+    if stats is not None:
+        total = time.perf_counter() - t0
+        stats.update(build_seconds=total,
+                     mpts_per_second=n * len(scales) / max(total, 1e-9) / 1e6)
+    return index

@@ -33,7 +33,7 @@ class IndexScale:
     n: int
     keys: np.ndarray          # f64[R]
     row_ptr: np.ndarray       # i64[R+1]
-    left: np.ndarray          # i64[P]
+    left: np.ndarray          # i64[P] (may be lazily materialized; see below)
     right: np.ndarray         # i64[P]
     cum_intervals: np.ndarray  # i64[R]
     cum_offsets: np.ndarray   # i64[R]
@@ -41,6 +41,13 @@ class IndexScale:
     # highest occupied bucket) — closes the last row's mean range, which the
     # reference leaves open-ended (MeanIntervalUtils.java:109 returns +10000).
     mean_upper_bound: float = float("inf")
+
+    # Device-resident position-sorted interval view from the TPU builder
+    # (index/device_build.py): (p_left_dev, p_right_dev, p_row_dev, n_pieces),
+    # position-ordered.  When set, ``left``/``right`` may be constructed as
+    # None and are materialized on host lazily at first access — a device
+    # build + fly-probe + device-verify query never pays the interval D2H.
+    dev_pos_view: tuple = None
 
     # Lazy position-sorted view: intervals ordered by left edge with their row id.
     # Lets a probe restrict itself to the running candidate span (engine/base.py
@@ -52,6 +59,29 @@ class IndexScale:
     # position-sorted view amortizes (BaseEngine._use_pos_view).
     gather_work: int = 0
 
+    def materialize_host(self) -> None:
+        """Pull the device interval view to the host and build the row-CSR
+        arrays (counting-sort by row id; stability preserves position order).
+        Also seeds the position-sorted view for free (the device view IS it)."""
+        if self._left is not None or self.dev_pos_view is None:
+            return
+        p_l_d, p_r_d, p_row_d, np_pieces = self.dev_pos_view
+        p_l = np.asarray(p_l_d)[:np_pieces].astype(np.int64)
+        p_r = np.asarray(p_r_d)[:np_pieces].astype(np.int64)
+        p_row = np.asarray(p_row_d)[:np_pieces].astype(np.int64)
+        self._pos_sorted = (p_l, p_r, p_row)
+        from .. import native
+        grp = native.group_rows(p_row.astype(np.int32), p_l, p_r) \
+            if p_row.size else None
+        if grp is not None:
+            _, _, l_sorted, r_sorted = grp
+            self._left = l_sorted.copy()
+            self._right = r_sorted.copy()
+        else:
+            order = np.argsort(p_row, kind="stable")
+            self._left = p_l[order]
+            self._right = p_r[order]
+
     def pos_sorted(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Position-sorted view (left, right, row_of_interval) of ALL intervals.
 
@@ -59,8 +89,12 @@ class IndexScale:
         ~10 s for the 4.6e8 intervals of a w=25 scale at n=1e9, vs minutes for
         the argsort fallback) and 24 bytes/interval to hold, so callers must
         only reach for it when per-row access cannot serve the scan; see
-        BaseEngine.POS_VIEW_MIN."""
+        BaseEngine.POS_VIEW_MIN.  Free when the device builder's view is
+        present (device intervals come out position-ordered)."""
         if self._pos_sorted is None:
+            if self.dev_pos_view is not None:
+                self.materialize_host()
+                return self._pos_sorted
             from .. import native
             mr = native.merge_rows(self.row_ptr[:-1], self.row_ptr[1:],
                                    self.left, self.right)
@@ -78,7 +112,7 @@ class IndexScale:
 
     @property
     def has_pos_sorted(self) -> bool:
-        return self._pos_sorted is not None
+        return self._pos_sorted is not None or self.dev_pos_view is not None
 
     @property
     def num_rows(self) -> int:
@@ -86,15 +120,19 @@ class IndexScale:
 
     @property
     def num_intervals(self) -> int:
-        return int(self.left.size)
+        return int(self.row_ptr[-1]) if self.row_ptr.size else 0
 
     def row_slice(self, r: int) -> Tuple[np.ndarray, np.ndarray]:
         s, e = int(self.row_ptr[r]), int(self.row_ptr[r + 1])
         return self.left[s:e], self.right[s:e]
 
     def memory_bytes(self) -> int:
-        return sum(a.nbytes for a in (self.keys, self.row_ptr, self.left,
-                                      self.right, self.cum_intervals, self.cum_offsets))
+        meta = sum(a.nbytes for a in (self.keys, self.row_ptr,
+                                      self.cum_intervals, self.cum_offsets))
+        if self._left is not None:
+            return meta + self._left.nbytes + self._right.nbytes
+        # device-resident intervals: int32 left/right (+row) per piece
+        return meta + 12 * self.num_intervals
 
     def counts_between(self, begin_round: float, end_round: float) -> Tuple[int, int]:
         """(#intervals, #offsets) in rows with begin_round <= key <= end_round,
@@ -139,6 +177,29 @@ class IndexScale:
         i0 = int(np.searchsorted(self.keys, begin_key, side="left"))
         i1 = int(np.searchsorted(self.keys, end_key, side="right"))
         return np.arange(i0, i1)
+
+
+def _lazy_interval_field(name: str):
+    """left/right become lazy properties: a device-built scale stores them as
+    None and materializes host copies on first access (interval D2H + row-CSR
+    counting sort happen only if a host code path actually needs them)."""
+    priv = "_" + name
+
+    def get(self):
+        v = getattr(self, priv)
+        if v is None and self.dev_pos_view is not None:
+            self.materialize_host()
+            v = getattr(self, priv)
+        return v
+
+    def set_(self, v):
+        object.__setattr__(self, priv, v)
+
+    return property(get, set_)
+
+
+IndexScale.left = _lazy_interval_field("left")
+IndexScale.right = _lazy_interval_field("right")
 
 
 Index = Dict[int, IndexScale]

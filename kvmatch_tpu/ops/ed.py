@@ -25,12 +25,59 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: Tile width (f32 lanes) of the aligned two-stage gather.  Multiple of 128.
+GATHER_TILE = 256
+
+#: The tiled gather trades per-element gathers for dense rolls — a large win on
+#: TPU (VPU rolls at bandwidth) but a loss on CPU where XLA's gather is already
+#: cheap.  CPU runs keep the legacy path; tests/conftest.py flips this so the
+#: CPU suite still covers the tiled code.
+GATHER_TILED_ON_CPU = False
+
+
+def pad_to_tiles(arr: jnp.ndarray) -> jnp.ndarray:
+    """Right-pad a 1-D device array to a GATHER_TILE multiple (edge value) so
+    _gather_windows takes the tiled fast path.  Engines pad their resident
+    series/envelope copies ONCE; padding inside a jitted gather would copy the
+    whole series every call."""
+    n = arr.shape[0]
+    pad = (-n) % GATHER_TILE
+    if pad == 0:
+        return arr
+    return jnp.concatenate([arr, jnp.broadcast_to(arr[-1:], (pad,))])
+
+
 def _gather_windows(data: jnp.ndarray, offsets: jnp.ndarray, length: int) -> jnp.ndarray:
     """(B, L) windows data[offsets[b] : offsets[b]+L].
 
-    vmapped dynamic_slice lowers to an XLA gather of contiguous length-L runs —
-    ~20x faster on TPU than the elementwise `data[offsets[:,None]+arange(L)]`
-    formulation, which degenerates into B*L scalar gathers."""
+    Tiled fast path (taken whenever the series length is a GATHER_TILE
+    multiple — engines pad once via pad_to_tiles): reshape the series to
+    (n/C, C) tiles, gather each window's T=ceil(L/C)+1 covering tile ROWS
+    (dense row gathers run near HBM bandwidth; the flat per-element gather the
+    vmapped dynamic_slice lowers to crawls at ~2 GB/s), then realign by
+    rem = offset mod C with a log2(C)-stage conditional barrel shifter of
+    dense rolls — measured ~4.5x faster end-to-end (scripts/
+    bench_gather_variants.py; VERDICT r2 item 1).  Fallback: the round-2
+    vmapped dynamic_slice for unpadded arrays (tests, small fixtures)."""
+    B = offsets.shape[0]
+    n = data.shape[0]
+    C = GATHER_TILE
+    tiled_ok = jax.default_backend() == "tpu" or GATHER_TILED_ON_CPU
+    if n % C == 0 and n >= C * 2 and tiled_ok:
+        ntiles = n // C
+        T = (length + C - 1) // C + 1
+        base = offsets // C
+        rows = jnp.minimum(base[:, None] + jnp.arange(T)[None, :], ntiles - 1)
+        flat = data.reshape(ntiles, C)[rows].reshape(B, T * C)
+        rem = (offsets % C).astype(jnp.int32)
+        shift = 1
+        while shift < C:
+            bit = (rem & shift) != 0
+            rolled = jnp.concatenate([flat[:, shift:], flat[:, :shift]], axis=1)
+            flat = jnp.where(bit[:, None], rolled, flat)
+            shift *= 2
+        return flat[:, :length]
+
     def one(o):
         return jax.lax.dynamic_slice(data, (o,), (length,))
     return jax.vmap(one)(offsets)

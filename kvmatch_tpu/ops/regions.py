@@ -43,9 +43,10 @@ FFT_ERR_C = 1e-5
 
 
 def _gather_regions(data: jnp.ndarray, starts: jnp.ndarray, r_len: int) -> jnp.ndarray:
-    def one(s):
-        return jax.lax.dynamic_slice(data, (s,), (r_len,))
-    return jax.vmap(one)(starts)
+    """Region slabs share the tiled barrel-shift gather (ops/ed.py): region
+    starts are just window offsets with a longer length."""
+    from .ed import _gather_windows
+    return _gather_windows(data, starts, r_len)
 
 
 def _sliding_sum_rows(x: jnp.ndarray, w: int) -> jnp.ndarray:

@@ -18,3 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Cover the TPU-only tiled barrel-shift gather on the CPU suite (it is gated
+# off on CPU in production because XLA-CPU's native gather is already fast).
+from kvmatch_tpu.ops import ed as _ed
+
+_ed.GATHER_TILED_ON_CPU = True

@@ -1,0 +1,105 @@
+"""Device-side index build (index/device_build.py) vs its NumPy twin and the
+engines: grouping pipeline equality, lazy host materialization, and answer
+parity with a host-built index."""
+
+import numpy as np
+import pytest
+
+from kvmatch_tpu.config import IndexConfig, QueryConfig
+from kvmatch_tpu.data.generators import generate_series
+from kvmatch_tpu.index import device_build as db
+from kvmatch_tpu.index.build import build_index_numpy
+
+N = 60_000
+
+
+@pytest.fixture(scope="module")
+def data():
+    return generate_series(N, seed=31)
+
+
+def test_pipeline_matches_numpy_twin(data):
+    import jax.numpy as jnp
+    from kvmatch_tpu.ops.sliding import build_buckets
+
+    cfg = IndexConfig()
+    cap = cfg.maximum_diff - 1
+    buckets = build_buckets(jnp.asarray(data, jnp.float32),
+                            tuple(cfg.scales), cfg.pos_of_d)
+    for w in cfg.scales:
+        b = np.asarray(buckets[w])
+        lo = int(b.min()) - 1
+        m = b.size
+        out = db._scale_pipeline_jit()(
+            jnp.asarray(b), jnp.int32(lo), jnp.int32(m), cap,
+            cfg.merge_count_factor, cfg.merge_shrink_factor)
+        np_pieces, n_rows = int(out[0]), int(out[1])
+        p_l = np.asarray(out[2])[:np_pieces]
+        p_r = np.asarray(out[3])[:np_pieces]
+        p_row = np.asarray(out[4])[:np_pieces]
+        gb = np.asarray(out[5])[:n_rows]
+        g_iv = np.asarray(out[6])[:n_rows]
+        g_off = np.asarray(out[7])[:n_rows]
+
+        tl, tr, trow, tgb, tg_iv, tg_off = db._numpy_twin_scale(
+            b, cap, cfg.merge_count_factor, cfg.merge_shrink_factor)
+        assert np_pieces == tl.size and n_rows == tgb.size, w
+        assert np.array_equal(p_l, tl), w
+        assert np.array_equal(p_r, tr), w
+        assert np.array_equal(p_row, trow), w
+        assert np.array_equal(gb, tgb), w
+        assert np.array_equal(g_iv, tg_iv), w
+        assert np.array_equal(g_off, tg_off), w
+        # intervals tile the valid position space exactly once
+        assert int((p_r - p_l + 1).sum()) == m
+        assert (p_r - p_l + 1).max() <= cap
+
+
+def test_device_index_lazy_materialization(data):
+    idx = db.build_index_device(data)
+    for w, sc in idx.items():
+        assert sc.dev_pos_view is not None
+        assert sc._left is None            # not pulled yet
+        assert sc.num_intervals == int(sc.row_ptr[-1])
+        _ = sc.memory_bytes()              # must not trigger D2H
+        assert sc._left is None
+        left = sc.left                     # first access materializes
+        assert left is not None and sc._left is not None
+        assert left.size == sc.num_intervals
+        # CSR consistency: per-row interval lists are position-sorted and the
+        # row_ptr from device stats matches the counting-sorted layout
+        for r in (0, sc.num_rows // 2, sc.num_rows - 1):
+            l_r, r_r = sc.row_slice(r)
+            assert np.all(np.diff(l_r) > 0) if l_r.size > 1 else True
+            assert np.all(l_r <= r_r)
+        # pos-sorted view equals the device view and tiles positions
+        p_l, p_r, p_row = sc.pos_sorted()
+        assert np.all(np.diff(p_l) > 0)
+        assert int((p_r - p_l + 1).sum()) == sc.n - w + 1
+
+
+@pytest.mark.parametrize("engine,params", [
+    ("rsm_ed", {}),
+    ("rsm_dtw", {"rho": 25}),
+    ("norm_ed", {"alpha": 1.3, "beta": 8.0}),
+    ("norm_dtw", {"alpha": 1.3, "beta": 8.0, "rho": 25}),
+])
+def test_engine_parity_device_vs_host_index(data, engine, params):
+    from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+    from kvmatch_tpu.engine.rsm_ed import QueryEngine
+
+    cls = {"rsm_ed": QueryEngine, "rsm_dtw": QueryEngineDtw,
+           "norm_ed": NormQueryEngine, "norm_dtw": NormQueryEngineDtw}[engine]
+    icfg = IndexConfig()
+    host_idx = build_index_numpy(data, icfg)
+    dev_idx = db.build_index_device(data, icfg)
+    eh = cls(data, index=host_idx, icfg=icfg, qcfg=QueryConfig())
+    ed = cls(data, index=dev_idx, icfg=icfg, qcfg=QueryConfig())
+    off, L, eps = 12000, 512, 4.0
+    q = data[off:off + L]
+    rh = eh.query(q, eps, **params)
+    rd = ed.query(q, eps, **params)
+    assert set(rh.offsets.tolist()) == set(rd.offsets.tolist())
+    assert off in rd.offsets.tolist()
