@@ -27,6 +27,10 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--northstar", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="run the n=1e8 cNSM north-star shape (build + "
+                         "engine batch + one measured twin query)")
     args = ap.parse_args()
 
     import jax
@@ -188,6 +192,38 @@ def main() -> int:
         tdd.append(tr.stats.t_total_ms)
     twin_dtw_ms = statistics.median(tdd)
 
+    # --- cNSM-DTW at the north-star shape (n=1e6, L=8192, rho=409) -----------
+    # VERDICT r2 items 2/4: engine q/s with the double-single device confirm,
+    # against the measured scalar-C twin on identical queries.
+    from kvmatch_tpu.baseline_twin import ScalarTwinNormDtw
+    from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+    cnsm_dtw_qps = twin_cnsm_dtw_ms = 0.0
+    cd_found = 0
+    cd_rechecked = -1
+    nq_cd = 16
+    try:
+        if args.quick:
+            raise RuntimeError("skipped in --quick")
+        cdeng = NormQueryEngineDtw(data, index=index, icfg=icfg, qcfg=qcfg,
+                                   device_data=engine.data_dev)
+        q_cd = queries[:nq_cd]
+        rho_ns = int(0.05 * L)
+        cdeng.query_batch(q_cd[:2], 4.0, rho=rho_ns, alpha=1.2, beta=5.0)
+        t0 = time.perf_counter()
+        cd_res = cdeng.query_batch(q_cd, 4.0, rho=rho_ns, alpha=1.2, beta=5.0)
+        cnsm_dtw_qps = nq_cd / (time.perf_counter() - t0)
+        cd_found = sum(1 for o, r in zip(offs[:nq_cd], cd_res)
+                       if int(o) in r.offsets.tolist())
+        cd_rechecked = int(np.sum([r.stats.n_host_rechecked for r in cd_res]))
+        cdtwin = ScalarTwinNormDtw(data, index=index, icfg=icfg, qcfg=twin_cfg,
+                                   device_data=engine.data_dev)
+        t0 = time.perf_counter()
+        for qrow in q_cd[:2]:
+            cdtwin.query(qrow, 4.0, rho=rho_ns, alpha=1.2, beta=5.0)
+        twin_cnsm_dtw_ms = (time.perf_counter() - t0) * 1e3 / 2
+    except Exception as exc:  # keep the headline metric alive
+        print(f"cnsm-dtw section skipped/failed: {exc!r}", file=sys.stderr)
+
     # --- kernel efficiency (achieved HBM GB/s vs roofline; VERDICT r1 #8) ----
     kernel_eff = {}
     if not args.quick:
@@ -196,6 +232,48 @@ def main() -> int:
             kernel_eff = measure_kernel_efficiency(engine.data_dev, reps=8)
         except Exception as exc:
             kernel_eff = {"error": str(exc)[:120]}
+
+    # --- north-star shape: cNSM-ED at n=1e8 (VERDICT r2 items 2/3) -----------
+    northstar = {}
+    if not args.quick and args.northstar:
+        try:
+            import gc
+            from kvmatch_tpu.index.device_build import build_index_device
+            n8 = 100_000_000
+            data8 = generate_series(n8, seed=20260817)
+            bst: dict = {}
+            index8 = build_index_device(data8, icfg, stats=bst)
+            northstar["device_build_mpts_per_s_1e8"] = round(
+                bst["mpts_per_second"], 1)
+            eng8 = NormQueryEngine(data8, index=index8, icfg=icfg, qcfg=qcfg)
+            rng8 = np.random.default_rng(2)
+            offs8 = rng8.integers(0, n8 - L, 8)
+            q8 = np.stack([data8[o:o + L] for o in offs8])
+            eng8.query_batch(q8[:2], 4.0, alpha=1.2, beta=5.0)  # warm/compile
+            t0 = time.perf_counter()
+            r8 = eng8.query_batch(q8, 4.0, alpha=1.2, beta=5.0)
+            northstar["cnsm_ed_1e8_qps"] = round(
+                8 / (time.perf_counter() - t0), 2)
+            northstar["cnsm_ed_1e8_self_found"] = sum(
+                1 for o, r in zip(offs8, r8) if int(o) in r.offsets.tolist())
+            northstar["cnsm_ed_1e8_cands_per_query"] = int(
+                np.mean([r.stats.n_candidates for r in r8]))
+            # measured scalar-C twin at the SAME shape: one query (it is
+            # minutes of single-thread time; the ratio is the point)
+            twin8 = ScalarTwinNormEd(data8, index=index8, icfg=icfg,
+                                     qcfg=twin_cfg,
+                                     device_data=eng8.data_dev)
+            t0 = time.perf_counter()
+            twin8.query(q8[0], 4.0, alpha=1.2, beta=5.0)
+            northstar["twin_cnsm_1e8_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 0)
+            northstar["cnsm_1e8_speedup_vs_twin_measured"] = round(
+                northstar["twin_cnsm_1e8_ms"]
+                * northstar["cnsm_ed_1e8_qps"] / 1000.0, 1)
+            del twin8, eng8, index8, data8
+            gc.collect()
+        except Exception as exc:
+            northstar["error"] = str(exc)[:200]
 
     out = {
         "metric": "RSM-ED demo query latency (n=1e6, L=8192, eps=10, self-query)",
@@ -238,6 +316,12 @@ def main() -> int:
             "rsm_dtw_speedup_vs_twin_measured": round(
                 twin_dtw_ms / rsm_dtw_ms, 1),
             "rsm_dtw_query_ms": round(rsm_dtw_ms, 1),
+            "cnsm_dtw_batch_qps": round(cnsm_dtw_qps, 3),
+            "twin_cnsm_dtw_ms_measured": round(twin_cnsm_dtw_ms, 0),
+            "cnsm_dtw_speedup_vs_twin_measured": round(
+                twin_cnsm_dtw_ms * cnsm_dtw_qps / 1000.0, 1),
+            "cnsm_dtw_host_rechecked": cd_rechecked,
+            "northstar": northstar,
             "rsm_ed_device_batch_qps": round(dev_qps, 1),
             "cnsm_ed_device_batch_qps": round(ndev_qps, 1),
             "rsm_batch_p1_ms": round(rsm_p1_ms, 2),
@@ -254,6 +338,7 @@ def main() -> int:
                 "rsm_device_self_found": f"{dev_found}/{nq}",
                 "cnsm_device_self_found": f"{ndev_found}/{nq2}",
                 "dtw_self_found": dtw_ok,
+                "cnsm_dtw_batch_self_found": f"{cd_found}/{nq_cd}",
             },
         },
     }

@@ -68,11 +68,18 @@ def _prefix_max(x, axis=0):
     return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
 
 
+#: Row-metadata slice width returned to the host (rows per scale never come
+#: close; asserted after the pull).
+GMAX = 1 << 17
+
+
 @functools.lru_cache(maxsize=1)
 def _scale_pipeline_jit():
     import jax
     return jax.jit(_scale_pipeline,
                    static_argnames=("cap", "count_factor", "shrink_factor"))
+
+
 
 
 def _scale_pipeline(b, bucket_lo, n_valid, cap: int, count_factor: float,
@@ -274,22 +281,25 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
     n = data.size
     scales = tuple(cfg.scales)
     cap = cfg.maximum_diff - 1
-    t0 = time.perf_counter()
-    data_dev = jnp.asarray(data, jnp.float32)
-    buckets = build_buckets(data_dev, scales, cfg.pos_of_d)
-
-    # bucket range from the data range (one tiny device reduce)
+    # bucket range from the HOST data range (no device sync on the hot path)
     s = 10.0 ** (cfg.pos_of_d - 1)
-    dmin, dmax = float(jnp.min(data_dev)), float(jnp.max(data_dev))
-    bucket_lo = int(2 * np.floor(dmin * s)) - 2
-    bucket_hi = int(2 * np.floor(dmax * s)) + 3
+    bucket_lo = int(2 * np.floor(float(data.min()) * s)) - 2
+    bucket_hi = int(2 * np.floor(float(data.max()) * s)) + 3
     if bucket_hi - bucket_lo >= NB:
         raise ValueError(
             f"mean-bucket range {bucket_hi - bucket_lo} exceeds the device "
             f"histogram capacity {NB}; use the host builder for this data")
 
+    t0 = time.perf_counter()
+    data_dev = jnp.asarray(data, jnp.float32)
+    buckets = build_buckets(data_dev, scales, cfg.pos_of_d)
+
+    # Dispatch every scale's program WITHOUT host syncs (jax is async — the 5
+    # programs queue back-to-back on the device), then pull all row metadata
+    # in one device_get.  int()/np.asarray inside the loop would cost ~6
+    # blocking tunnel round trips per scale.
     M = n - min(scales) + 1
-    index: Index = {}
+    pending = {}
     for w in scales:
         b = buckets[w]
         m_w = b.shape[0]
@@ -298,11 +308,20 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         out = _scale_pipeline_jit()(b, jnp.int32(bucket_lo), jnp.int32(m_w),
                                     cap, cfg.merge_count_factor,
                                     cfg.merge_shrink_factor)
-        np_pieces, n_groups = int(out[0]), int(out[1])
-        p_left_d, p_right_d, p_row_d = out[2], out[3], out[4]
-        grp_bucket = np.asarray(out[5][:n_groups])
-        g_n_iv = np.asarray(out[6][:n_groups]).astype(np.int64)
-        g_n_off = np.asarray(out[7][:n_groups]).astype(np.int64)
+        pending[w] = out
+    meta = jax.device_get({w: (o[0], o[1], o[5][:GMAX], o[6][:GMAX],
+                               o[7][:GMAX]) for w, o in pending.items()})
+
+    index: Index = {}
+    for w in scales:
+        np_pieces, n_groups = int(meta[w][0]), int(meta[w][1])
+        if n_groups > GMAX:
+            raise ValueError(f"scale w={w}: {n_groups} rows exceed GMAX")
+        p_left_d, p_right_d, p_row_d = pending[w][2], pending[w][3], \
+            pending[w][4]
+        grp_bucket = meta[w][2][:n_groups]
+        g_n_iv = meta[w][3][:n_groups].astype(np.int64)
+        g_n_off = meta[w][4][:n_groups].astype(np.int64)
         keys = rounding.bucket_to_key(grp_bucket.astype(np.int64),
                                       cfg.pos_of_d)
         row_ptr = np.zeros(n_groups + 1, np.int64)
@@ -322,7 +341,6 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         index[w] = sc
         logger.debug("device build w=%d: %d pieces, %d rows", w, np_pieces,
                      n_groups)
-    jax.block_until_ready([index[w].dev_pos_view[0] for w in scales])
     if stats is not None:
         total = time.perf_counter() - t0
         stats.update(build_seconds=total,

@@ -117,6 +117,21 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     out["banded_dtw_shape"] = f"B={Bd} L={L} rho={rho}"
     out["banded_dtw_cands_per_s"] = Bd / sec
 
+    # --- double-single DTW confirm (the near-threshold device stage) ----------
+    from ..ops.dtw import dtw_stage_ds_multi
+    Bds = 1024
+    qm = jnp.stack([q])
+    qids = jnp.zeros(Bds, jnp.int32)
+
+    def ds_fn(i):
+        hi_, lo_, amax_ = dtw_stage_ds_multi(data_dev, qm, offs_d[:Bds] + i,
+                                             qids, L, rho)
+        return jnp.sum(hi_) + jnp.sum(lo_) + jnp.sum(amax_)
+
+    sec = _timed_scan(ds_fn, reps)
+    out["ds_dtw_cands_per_s"] = Bds / sec
+    out["ds_dtw_ms"] = sec * 1e3
+
     # --- device build pass: bucket ids for all scales -------------------------
     from ..config import DEFAULT_INDEX_CONFIG
     scales = tuple(DEFAULT_INDEX_CONFIG.scales)
