@@ -63,9 +63,12 @@ _SENT = np.int32(1 << 30)  # bucket sentinel for padded tail positions
 
 
 def _prefix_max(x, axis=0):
+    # lax.cummax lowers to a native HLO scan the TPU compiler handles in
+    # seconds; lax.associative_scan(jnp.maximum) over >=1e7 elements wedges
+    # the remote compiler for >12 min (measured round 3) — never use it on
+    # the position axis.
     import jax
-    import jax.numpy as jnp
-    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+    return jax.lax.cummax(x, axis=axis)
 
 
 #: Row-metadata slice width returned to the host (rows per scale never come
@@ -78,6 +81,47 @@ def _scale_pipeline_jit():
     import jax
     return jax.jit(_scale_pipeline,
                    static_argnames=("cap", "count_factor", "shrink_factor"))
+
+
+@functools.lru_cache(maxsize=None)
+def _bucket_prog(w: int, u: int, pos_of_d: int):
+    """Single-scale bucket ids from the raw data, padded to M = n - u + 1.
+
+    One small program per scale (vs one (S, M) stack program) so each scale's
+    2 GB-at-n=1e8 bucket array is freed as soon as its pipeline consumes it —
+    the all-scales stack alone is 5x that and was part of the HBM overflow
+    that crashed the worker at n=1e8 (round 3).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..ops.sliding import bucketize_means, sliding_sums
+
+    @jax.jit
+    def prog(data):
+        s = sliding_sums(data, (u, w) if w != u else (u,))[w]
+        b = bucketize_means(s, w, pos_of_d)
+        pad = w - u  # M - m_w
+        if pad:
+            b = jnp.concatenate([b, jnp.full(pad, _SENT, jnp.int32)])
+        return b
+
+    return prog
+
+
+#: Piece D2H slices are rounded up to this granularity so the tiny slice
+#: programs hit a bounded set of shapes (compiles are seconds each on the
+#: tunnel but there are 3 arrays x 5 scales per build).
+_SLICE_Q = 1 << 22
+
+
+@functools.lru_cache(maxsize=None)
+def _slice_prog(m: int, k: int):
+    import jax
+
+    def prog(pl, pr, prow):
+        return pl[:k], pr[:k], prow[:k]
+
+    return jax.jit(prog)
 
 
 
@@ -189,15 +233,26 @@ def _scale_pipeline(b, bucket_lo, n_valid, cap: int, count_factor: float,
     np_pieces = jnp.where(n_runs > 0,
                           piece_ptr[jnp.maximum(n_runs - 1, 0)]
                           + pieces[jnp.maximum(n_runs - 1, 0)], 0)
-    # piece j belongs to run rid(j) = searchsorted(piece_ptr_incl, j, right)
+    # Expand runs into pieces by FILL-FORWARD of per-run values into piece
+    # space: delta-encode along the (compacted) run axis, scatter each delta
+    # at the run's first piece position, cumsum over the piece axis.  The
+    # obvious searchsorted(incl, j)-then-gather formulation wedges the remote
+    # TPU compiler at M=1e8 (round 3 bisect — searchsorted over a computed
+    # cumsum never finishes compiling); scatter+cumsum are the same
+    # primitives stages 1-4 already use at this size.
     jidx = jnp.arange(M, dtype=jnp.int32)
-    incl = piece_ptr + pieces                        # inclusive prefix
-    rid = jnp.searchsorted(incl, jidx, side="right").astype(jnp.int32)
-    rid = jnp.clip(rid, 0, M - 1)
+    pdst = jnp.where(run_ok & (pieces > 0), piece_ptr, M)
+
+    def _fill(vals):
+        prev = jnp.concatenate([jnp.zeros(1, vals.dtype), vals[:-1]])
+        dv = vals - prev
+        scat = jnp.zeros(M + 1, vals.dtype).at[pdst].add(dv, mode="drop")[:M]
+        return jnp.cumsum(scat)
+
     p_ok = jidx < np_pieces
-    p_left = jnp.where(p_ok, runL[rid] + (jidx - piece_ptr[rid]) * cap, 0)
-    p_right = jnp.where(p_ok, jnp.minimum(p_left + cap - 1, runR[rid]), -1)
-    p_row = jnp.where(p_ok, rung[rid], -1)
+    p_left = jnp.where(p_ok, _fill(runL) + (jidx - _fill(piece_ptr)) * cap, 0)
+    p_right = jnp.where(p_ok, jnp.minimum(p_left + cap - 1, _fill(runR)), -1)
+    p_row = jnp.where(p_ok, _fill(rung), -1)
 
     # --- per-group statistics ---------------------------------------------
     sdst = jnp.where(p_ok, p_row, NB)
@@ -264,22 +319,33 @@ def _numpy_twin_scale(b: np.ndarray, cap: int, count_factor: float,
     return p_left, p_right, p_row, grp_bucket, g_n_iv, g_n_off
 
 
+#: Above this n the builder spills each scale's interval arrays to the host
+#: as it goes instead of keeping all scales device-resident: the 5 scales'
+#: piece arrays (3 x M x i32 each, ~6 GB at n=1e8) plus one pipeline's
+#: transients exceed the chip's HBM and crash the worker.
+SPILL_N = 40_000_000
+
+
 def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
                        stats: Optional[dict] = None,
-                       keep_device: bool = True) -> Index:
+                       keep_device: bool = True,
+                       spill_threshold: int = SPILL_N) -> Index:
     """Build the full index family on the TPU; host receives row metadata only.
 
     ``keep_device=True`` leaves the interval arrays device-resident
     (IndexScale materializes host copies lazily); False pulls them eagerly
-    (tests / persistence).
+    (tests / persistence).  Above ``spill_threshold`` points the build runs
+    scale-at-a-time and pulls each scale's (device-sliced) piece arrays to the
+    host before dispatching the next, bounding peak HBM to one pipeline's
+    working set regardless of n.
     """
     import jax
     import jax.numpy as jnp
-    from ..ops.sliding import build_buckets
 
     data = np.asarray(data)
     n = data.size
     scales = tuple(cfg.scales)
+    u = min(scales)
     cap = cfg.maximum_diff - 1
     # bucket range from the HOST data range (no device sync on the hot path)
     s = 10.0 ** (cfg.pos_of_d - 1)
@@ -289,36 +355,49 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         raise ValueError(
             f"mean-bucket range {bucket_hi - bucket_lo} exceeds the device "
             f"histogram capacity {NB}; use the host builder for this data")
+    spill = n > spill_threshold
 
     t0 = time.perf_counter()
     data_dev = jnp.asarray(data, jnp.float32)
-    buckets = build_buckets(data_dev, scales, cfg.pos_of_d)
+    M = n - u + 1
 
-    # Dispatch every scale's program WITHOUT host syncs (jax is async — the 5
-    # programs queue back-to-back on the device), then pull all row metadata
-    # in one device_get.  int()/np.asarray inside the loop would cost ~6
-    # blocking tunnel round trips per scale.
-    M = n - min(scales) + 1
+    # Dispatch per scale WITHOUT host syncs (jax is async — the programs
+    # queue back-to-back on the device) unless spilling, where each scale is
+    # pulled (and its device buffers freed) before the next dispatch.  Each
+    # scale's bucket array is computed by its own small program and dropped
+    # as soon as the pipeline consumes it; the pipeline executable is shared
+    # by all scales (one padded shape M).
     pending = {}
+    spilled = {}
     for w in scales:
-        b = buckets[w]
-        m_w = b.shape[0]
-        if m_w < M:
-            b = jnp.concatenate([b, jnp.full(M - m_w, _SENT, jnp.int32)])
-        out = _scale_pipeline_jit()(b, jnp.int32(bucket_lo), jnp.int32(m_w),
+        b = _bucket_prog(w, u, cfg.pos_of_d)(data_dev)
+        out = _scale_pipeline_jit()(b, jnp.int32(bucket_lo),
+                                    jnp.int32(n - w + 1),
                                     cap, cfg.merge_count_factor,
                                     cfg.merge_shrink_factor)
-        pending[w] = out
-    meta = jax.device_get({w: (o[0], o[1], o[5][:GMAX], o[6][:GMAX],
-                               o[7][:GMAX]) for w, o in pending.items()})
+        del b
+        if spill:
+            meta_w = jax.device_get((out[0], out[1], out[5][:GMAX],
+                                     out[6][:GMAX], out[7][:GMAX]))
+            np_pieces = int(meta_w[0])
+            k = min(M, -(-max(np_pieces, 1) // _SLICE_Q) * _SLICE_Q)
+            sl = _slice_prog(M, k)(out[2], out[3], out[4])
+            pieces_w = jax.device_get(sl)
+            del sl, out
+            spilled[w] = (meta_w, tuple(p[:np_pieces] for p in pieces_w))
+        else:
+            pending[w] = out
+    if not spill:
+        meta = jax.device_get({w: (o[0], o[1], o[5][:GMAX], o[6][:GMAX],
+                                   o[7][:GMAX]) for w, o in pending.items()})
+    else:
+        meta = {w: m for w, (m, _) in spilled.items()}
 
     index: Index = {}
     for w in scales:
         np_pieces, n_groups = int(meta[w][0]), int(meta[w][1])
         if n_groups > GMAX:
             raise ValueError(f"scale w={w}: {n_groups} rows exceed GMAX")
-        p_left_d, p_right_d, p_row_d = pending[w][2], pending[w][3], \
-            pending[w][4]
         grp_bucket = meta[w][2][:n_groups]
         g_n_iv = meta[w][3][:n_groups].astype(np.int64)
         g_n_off = meta[w][4][:n_groups].astype(np.int64)
@@ -334,9 +413,12 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
             left=None, right=None,
             cum_intervals=np.cumsum(g_n_iv), cum_offsets=np.cumsum(g_n_off),
             mean_upper_bound=upper,
-            dev_pos_view=(p_left_d, p_right_d, p_row_d, np_pieces),
+            dev_pos_view=None if spill
+            else (pending[w][2], pending[w][3], pending[w][4], np_pieces),
         )
-        if not keep_device:
+        if spill:
+            sc.set_pos_arrays(*spilled[w][1])
+        elif not keep_device:
             sc.materialize_host()
         index[w] = sc
         logger.debug("device build w=%d: %d pieces, %d rows", w, np_pieces,

@@ -66,9 +66,20 @@ class IndexScale:
         if self._left is not None or self.dev_pos_view is None:
             return
         p_l_d, p_r_d, p_row_d, np_pieces = self.dev_pos_view
-        p_l = np.asarray(p_l_d)[:np_pieces].astype(np.int64)
-        p_r = np.asarray(p_r_d)[:np_pieces].astype(np.int64)
-        p_row = np.asarray(p_row_d)[:np_pieces].astype(np.int64)
+        # Slice on DEVICE before the pull: the padded arrays are M-sized
+        # (400 MB each at n=1e8) while np_pieces is typically a fraction of
+        # that, and the tunnel D2H runs at ~300 MB/s.
+        p_l = np.asarray(p_l_d[:np_pieces])
+        p_r = np.asarray(p_r_d[:np_pieces])
+        p_row = np.asarray(p_row_d[:np_pieces])
+        self.set_pos_arrays(p_l, p_r, p_row)
+
+    def set_pos_arrays(self, p_l, p_r, p_row) -> None:
+        """Install host interval arrays from a position-sorted piece view
+        (int32 or int64), building the row-CSR copies."""
+        p_l = np.asarray(p_l).astype(np.int64)
+        p_r = np.asarray(p_r).astype(np.int64)
+        p_row = np.asarray(p_row).astype(np.int64)
         self._pos_sorted = (p_l, p_r, p_row)
         from .. import native
         grp = native.group_rows(p_row.astype(np.int32), p_l, p_r) \

@@ -363,11 +363,37 @@ def lb_stage_multi(data, env_lo, env_hi, qm, lo_m, hi_m, offs, qids, length: int
     return jnp.maximum(lb, lb_keogh_multi(q, e_lo, e_hi))
 
 
+def _use_pallas_dtw() -> bool:
+    """Trace-safe cached availability check for the Pallas DP (must be called
+    OUTSIDE any jit trace — all dispatchers below are plain Python)."""
+    from .dtw_pallas import pallas_dtw_available
+    return pallas_dtw_available()
+
+
 @functools.partial(jax.jit, static_argnames=("length", "r"))
-def dtw_stage_multi(data, qm, offs, qids, length: int, r: int):
+def _dtw_stage_multi_xla(data, qm, offs, qids, length: int, r: int):
     from .ed import _gather_windows
     x = _gather_windows(data, offs, length)
     return dtw_banded_batch_multi(x, qm[qids], r)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "r"))
+def _dtw_stage_multi_pallas(data, qm, offs, qids, length: int, r: int):
+    from .dtw_pallas import dtw_banded_pallas_multi
+    from .ed import _gather_windows
+    x = _gather_windows(data, offs, length)
+    return dtw_banded_pallas_multi(x, qm[qids], r)
+
+
+def dtw_stage_multi(data, qm, offs, qids, length: int, r: int):
+    """f32 banded-DP stage: VMEM-resident Pallas kernel when the backend can
+    lower it, XLA prefix-scan formulation otherwise.  Both compute the same
+    recurrence; f32 rounding differs only in summation order, which the
+    engines' guard band (vf.guard_threshold) absorbs — near-threshold
+    candidates go to the DS/f64 confirm either way."""
+    if _use_pallas_dtw():
+        return _dtw_stage_multi_pallas(data, qm, offs, qids, length, r)
+    return _dtw_stage_multi_xla(data, qm, offs, qids, length, r)
 
 
 def _znorm_rows(x, length: int):
@@ -414,11 +440,27 @@ def lb_stage_znorm_multi(data, env_lo, env_hi, zq_m, lo_m, hi_m, cons, offs,
 
 
 @functools.partial(jax.jit, static_argnames=("length", "r"))
-def dtw_stage_znorm_multi(data, zq_m, offs, qids, length: int, r: int):
+def _dtw_stage_znorm_multi_xla(data, zq_m, offs, qids, length: int, r: int):
     from .ed import _gather_windows
     x = _gather_windows(data, offs, length)
     z, _, _ = _znorm_rows(x, length)
     return dtw_banded_batch_multi(z, zq_m[qids], r)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "r"))
+def _dtw_stage_znorm_multi_pallas(data, zq_m, offs, qids, length: int, r: int):
+    from .dtw_pallas import dtw_banded_pallas_multi
+    from .ed import _gather_windows
+    x = _gather_windows(data, offs, length)
+    z, _, _ = _znorm_rows(x, length)
+    return dtw_banded_pallas_multi(z, zq_m[qids], r)
+
+
+def dtw_stage_znorm_multi(data, zq_m, offs, qids, length: int, r: int):
+    """z-normalized f32 banded-DP stage; see dtw_stage_multi for dispatch."""
+    if _use_pallas_dtw():
+        return _dtw_stage_znorm_multi_pallas(data, zq_m, offs, qids, length, r)
+    return _dtw_stage_znorm_multi_xla(data, zq_m, offs, qids, length, r)
 
 
 @functools.partial(jax.jit, static_argnames=("length", "r"))

@@ -83,10 +83,61 @@ def _gather_windows(data: jnp.ndarray, offsets: jnp.ndarray, length: int) -> jnp
     return jax.vmap(one)(offsets)
 
 
+def _tiled_ok(data: jnp.ndarray) -> bool:
+    n = data.shape[0]
+    C = GATHER_TILE
+    return n % C == 0 and n >= C * 2 and \
+        (jax.default_backend() == "tpu" or GATHER_TILED_ON_CPU)
+
+
+def _tile_rows(data: jnp.ndarray, offsets: jnp.ndarray, length: int):
+    """Dense covering-tile-row gather: (B, K) unaligned windows, K = T*C,
+    where window b occupies columns [rem_b, rem_b + length)."""
+    B = offsets.shape[0]
+    n = data.shape[0]
+    C = GATHER_TILE
+    ntiles = n // C
+    T = (length + C - 1) // C + 1
+    base = offsets // C
+    rows = jnp.minimum(base[:, None] + jnp.arange(T)[None, :], ntiles - 1)
+    flat = data.reshape(ntiles, C)[rows].reshape(B, T * C)
+    rem = (offsets % C).astype(jnp.int32)
+    return flat, rem, T * C
+
+
+def _shift_tables(query: jnp.ndarray, length: int, K: int):
+    """(C, K) window mask and shifted-query tables for the table-gather ED
+    path: w[r, k] = 1 iff r <= k < r+length; qsh[r, k] = query[k-r] there.
+
+    Comparing tile rows against the rem-th table row computes the SAME
+    per-element subtract-square-sum as the aligned direct path (masked
+    positions contribute exactly 0.0), so the f32 error model — and hence
+    every engine guard band — is unchanged, while the log2(C) barrel-shift
+    realignment passes (8 full rewrites of the gathered buffer) disappear.
+    ``query`` may be (L,) or (Q, L); tables get a leading Q axis if present.
+    """
+    C = GATHER_TILE
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    r = jnp.arange(C, dtype=jnp.int32)[:, None]
+    inwin = (k >= r) & (k < r + length)
+    w = inwin.astype(jnp.float32)
+    qidx = jnp.clip(k - r, 0, length - 1)
+    if query.ndim == 1:
+        qsh = jnp.where(inwin, query[qidx], 0.0)
+    else:
+        qsh = jnp.where(inwin[None], query[:, qidx], 0.0)
+    return w, qsh
+
+
 @functools.partial(jax.jit, static_argnames=("length",))
 def ed_distances(data: jnp.ndarray, query: jnp.ndarray, offsets: jnp.ndarray,
                  length: int) -> jnp.ndarray:
     """Raw squared Euclidean distances for a batch of candidate offsets."""
+    if _tiled_ok(data):
+        flat, rem, K = _tile_rows(data, offsets, length)
+        w, qsh = _shift_tables(query, length, K)
+        diff = flat - qsh[rem]
+        return jnp.sum(w[rem] * diff * diff, axis=1)
     x = _gather_windows(data, offsets, length)
     diff = x - query[None, :]
     return jnp.sum(diff * diff, axis=1)
@@ -98,9 +149,31 @@ def ed_distances_multi(data: jnp.ndarray, queries: jnp.ndarray,
                        length: int) -> jnp.ndarray:
     """Raw squared distances for candidates belonging to *different* queries:
     one launch serves a whole query batch (queries: (Q, L), qids: (B,))."""
+    if _tiled_ok(data):
+        flat, rem, K = _tile_rows(data, offsets, length)
+        w, qsh = _shift_tables(queries, length, K)
+        C = GATHER_TILE
+        qrow = qsh.reshape(-1, K)[qids * C + rem]
+        diff = flat - qrow
+        return jnp.sum(w[rem] * diff * diff, axis=1)
     x = _gather_windows(data, offsets, length)
     diff = x - queries[qids]
     return jnp.sum(diff * diff, axis=1)
+
+
+def _znorm_from_rows(x, w, qrow, length):
+    """Masked z-normalized distance over (B, K) rows; w / qrow select the
+    window.  Same per-element arithmetic as the aligned direct path."""
+    inv_l = np.float32(1.0 / length)
+    mean = jnp.sum(w * x, axis=1) * inv_l
+    centered = (x - mean[:, None]) * w
+    var = jnp.sum(centered * centered, axis=1) * inv_l
+    std = jnp.sqrt(var)
+    safe = jnp.where(std > 0, std, 1.0)
+    zdiff = (centered / safe[:, None] - qrow) * w
+    d2 = jnp.sum(zdiff * zdiff, axis=1)
+    d2 = jnp.where(std > 0, d2, jnp.inf)
+    return d2, mean, std
 
 
 @functools.partial(jax.jit, static_argnames=("length",))
@@ -109,6 +182,11 @@ def znorm_ed_distances_multi(data: jnp.ndarray, queries_hat: jnp.ndarray,
                              length: int):
     """Batched z-normalized distances across a query batch; returns
     (d2, mean, std) like znorm_ed_distances."""
+    if _tiled_ok(data):
+        flat, rem, K = _tile_rows(data, offsets, length)
+        w, qsh = _shift_tables(queries_hat, length, K)
+        qrow = qsh.reshape(-1, K)[qids * GATHER_TILE + rem]
+        return _znorm_from_rows(flat, w[rem], qrow, length)
     x = _gather_windows(data, offsets, length)
     inv_l = np.float32(1.0 / length)
     mean = jnp.sum(x, axis=1) * inv_l
@@ -130,6 +208,10 @@ def znorm_ed_distances(data: jnp.ndarray, query_hat: jnp.ndarray,
     ``query_hat`` must already be z-normalized ((Q-muQ)/sigmaQ, population std).
     Returns (d2, mean, std); d2 is inf where std == 0.
     """
+    if _tiled_ok(data):
+        flat, rem, K = _tile_rows(data, offsets, length)
+        w, qsh = _shift_tables(query_hat, length, K)
+        return _znorm_from_rows(flat, w[rem], qsh[rem], length)
     x = _gather_windows(data, offsets, length)
     inv_l = np.float32(1.0 / length)
     mean = jnp.sum(x, axis=1) * inv_l

@@ -404,14 +404,13 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
             # last masked position at-or-before each column (NEG when none),
             # seeded with the carried last masked position of earlier blocks
             posm = jnp.where(mask, pos[None, :], NEG)
-            lastp = jax.lax.associative_scan(jnp.maximum, posm, axis=1)
+            lastp = jax.lax.cummax(posm, axis=1)
             lastp_prev = jnp.concatenate(
                 [last_carry[:, None], jnp.maximum(lastp[:, :-1],
                                                   last_carry[:, None])], axis=1)
             # next masked position at-or-after each column (POS when none)
             posM = jnp.where(mask, pos[None, :], POS)
-            nextp = jax.lax.associative_scan(jnp.minimum, posM, axis=1,
-                                             reverse=True)
+            nextp = jax.lax.cummin(posM, axis=1, reverse=True)
             nextp_next = jnp.concatenate(
                 [nextp[:, 1:], jnp.full((Q, 1), POS, jnp.int32)], axis=1)
 

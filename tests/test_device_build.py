@@ -103,3 +103,19 @@ def test_engine_parity_device_vs_host_index(data, engine, params):
     rd = ed.query(q, eps, **params)
     assert set(rh.offsets.tolist()) == set(rd.offsets.tolist())
     assert off in rd.offsets.tolist()
+
+def test_spill_mode_identical_index(data):
+    """Spill-to-host build (large-n path) must produce byte-identical index
+    content to the device-resident build."""
+    keep = db.build_index_device(data)
+    spill = db.build_index_device(data, spill_threshold=1)
+    for w in keep:
+        a, b = keep[w], spill[w]
+        assert b.dev_pos_view is None and b._left is not None
+        assert np.array_equal(a.keys, b.keys), w
+        assert np.array_equal(a.row_ptr, b.row_ptr), w
+        assert np.array_equal(a.left, b.left), w
+        assert np.array_equal(a.right, b.right), w
+        pa, pb = a.pos_sorted(), b.pos_sorted()
+        for x, y in zip(pa, pb):
+            assert np.array_equal(x, y), w
