@@ -42,3 +42,42 @@ def test_pallas_znorm_matches_xla(problem):
     np.testing.assert_allclose(np.asarray(mu), ref_mu, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(sd), ref_sd, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-3, atol=1e-2)
+
+
+def test_pallas_dtw_matches_f64():
+    """dtw_banded_pallas_multi (interpret mode off-TPU) vs the exact f64 DP:
+    agreement at f32 error scale over random and adversarial batches."""
+    from kvmatch_tpu.ops.dtw import _dtw_banded_batch_f64_np
+    from kvmatch_tpu.ops.dtw_pallas import dtw_banded_pallas_multi
+
+    rng = np.random.default_rng(3)
+    B, L, r = 16, 256, 13
+    a = rng.normal(size=(B, L)).astype(np.float32)
+    # adversarial rows: large common-mode offset + near-identical pair
+    a[0] += 100.0
+    a[1] = a[2] + 1e-3
+    q = rng.normal(size=(B, L)).astype(np.float32)
+    q[0] += 100.0
+    got = np.asarray(dtw_banded_pallas_multi(
+        jnp.asarray(a), jnp.asarray(q), r, interpret=INTERPRET))
+    for b in range(B):
+        ref = _dtw_banded_batch_f64_np(a[b:b + 1].astype(np.float64),
+                                       q[b].astype(np.float64), r)[0]
+        np.testing.assert_allclose(got[b], ref, rtol=3e-4, atol=1e-2)
+
+
+def test_pallas_dtw_odd_shapes():
+    """Non-128-multiple L and B exercise the padding paths."""
+    from kvmatch_tpu.ops.dtw import _dtw_banded_batch_f64_np
+    from kvmatch_tpu.ops.dtw_pallas import dtw_banded_pallas_multi
+
+    rng = np.random.default_rng(4)
+    B, L, r = 5, 100, 7
+    a = rng.normal(size=(B, L)).astype(np.float32)
+    q = rng.normal(size=(B, L)).astype(np.float32)
+    got = np.asarray(dtw_banded_pallas_multi(
+        jnp.asarray(a), jnp.asarray(q), r, interpret=INTERPRET))
+    for b in range(B):
+        ref = _dtw_banded_batch_f64_np(a[b:b + 1].astype(np.float64),
+                                       q[b].astype(np.float64), r)[0]
+        np.testing.assert_allclose(got[b], ref, rtol=3e-4, atol=1e-3)
