@@ -369,7 +369,9 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
     # by all scales (one padded shape M).
     pending = {}
     spilled = {}
+    t_dev = t_d2h = 0.0
     for w in scales:
+        t1 = time.perf_counter()
         b = _bucket_prog(w, u, cfg.pos_of_d)(data_dev)
         out = _scale_pipeline_jit()(b, jnp.int32(bucket_lo),
                                     jnp.int32(n - w + 1),
@@ -379,11 +381,14 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         if spill:
             meta_w = jax.device_get((out[0], out[1], out[5][:GMAX],
                                      out[6][:GMAX], out[7][:GMAX]))
+            t2 = time.perf_counter()
+            t_dev += t2 - t1
             np_pieces = int(meta_w[0])
             k = min(M, -(-max(np_pieces, 1) // _SLICE_Q) * _SLICE_Q)
             sl = _slice_prog(M, k)(out[2], out[3], out[4])
             pieces_w = jax.device_get(sl)
             del sl, out
+            t_d2h += time.perf_counter() - t2
             spilled[w] = (meta_w, tuple(p[:np_pieces] for p in pieces_w))
         else:
             pending[w] = out
@@ -394,6 +399,7 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         meta = {w: m for w, (m, _) in spilled.items()}
 
     index: Index = {}
+    t_host = 0.0
     for w in scales:
         np_pieces, n_groups = int(meta[w][0]), int(meta[w][1])
         if n_groups > GMAX:
@@ -417,7 +423,9 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
             else (pending[w][2], pending[w][3], pending[w][4], np_pieces),
         )
         if spill:
+            t1 = time.perf_counter()
             sc.set_pos_arrays(*spilled[w][1])
+            t_host += time.perf_counter() - t1
         elif not keep_device:
             sc.materialize_host()
         index[w] = sc
@@ -427,4 +435,8 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         total = time.perf_counter() - t0
         stats.update(build_seconds=total,
                      mpts_per_second=n * len(scales) / max(total, 1e-9) / 1e6)
+        if spill:
+            stats.update(device_seconds=round(t_dev, 2),
+                         d2h_seconds=round(t_d2h, 2),
+                         host_group_seconds=round(t_host, 2))
     return index

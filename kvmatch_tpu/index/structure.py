@@ -77,11 +77,24 @@ class IndexScale:
     def set_pos_arrays(self, p_l, p_r, p_row) -> None:
         """Install host interval arrays from a position-sorted piece view
         (int32 or int64), building the row-CSR copies."""
-        p_l = np.asarray(p_l).astype(np.int64)
-        p_r = np.asarray(p_r).astype(np.int64)
-        p_row = np.asarray(p_row).astype(np.int64)
-        self._pos_sorted = (p_l, p_r, p_row)
         from .. import native
+        p_l = np.asarray(p_l)
+        p_r = np.asarray(p_r)
+        p_row = np.asarray(p_row)
+        if p_l.dtype == np.int32 and p_row.size and self.num_rows:
+            # Device-built int32 pieces: one fused C pass (widen + counting
+            # scatter) instead of 3 astype passes + group_rows + 2 copies.
+            ip = native.install_pieces(p_l, p_r, p_row, self.num_rows)
+            if ip is not None:
+                l64, r64, row64, ol, orr = ip
+                self._pos_sorted = (l64, r64, row64)
+                self._left = ol
+                self._right = orr
+                return
+        p_l = p_l.astype(np.int64)
+        p_r = p_r.astype(np.int64)
+        p_row = p_row.astype(np.int64)
+        self._pos_sorted = (p_l, p_r, p_row)
         grp = native.group_rows(p_row.astype(np.int32), p_l, p_r) \
             if p_row.size else None
         if grp is not None:

@@ -98,24 +98,43 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     out["region_fft_offsets_per_s"] = R * M / sec
 
     # --- banded DTW: B windows, band radius r ---------------------------------
+    # Headline fields measure the ENGINE dispatch path (Pallas VMEM kernel
+    # when the backend lowers it); the XLA lax.scan formulation is reported
+    # alongside as banded_dtw_xla_* for comparison.
+    from ..ops.dtw import _use_pallas_dtw
     Bd, rho = 8192, 51
     offs_d = jnp.asarray(rng.integers(0, n - L - reps, Bd), jnp.int32)
+    use_pallas = _use_pallas_dtw()
+    if use_pallas:
+        from ..ops.dtw_pallas import dtw_banded_pallas_multi
 
-    def dtw_fn(i):
-        # gather windows (counted in bytes) then the prefix-scan band DP
-        import jax
-        w = jax.vmap(lambda o: jax.lax.dynamic_slice(data_dev, (o,), (L,)))(offs_d + i)
-        return jnp.sum(dtw_banded_batch(w, q, rho))
+        def dp_engine(w):
+            return dtw_banded_pallas_multi(w, jnp.broadcast_to(q, w.shape), rho)
+    else:
+        def dp_engine(w):
+            return dtw_banded_batch(w, q, rho)
 
-    sec = _timed_scan(dtw_fn, reps)
-    W = 2 * rho + 1
-    bytes_moved = Bd * L * 4 + L * 4 + Bd * 4
-    flops = Bd * L * W * 8  # per cell: diff^2 + 2 cumulative scans + mins
-    out["banded_dtw_gbps"] = bytes_moved / sec / 1e9
-    out["banded_dtw_gflops"] = flops / sec / 1e9
-    out["banded_dtw_ms"] = sec * 1e3
+    def _dtw_fields(dp, prefix):
+        def dtw_fn(i):
+            import jax
+            w = jax.vmap(lambda o: jax.lax.dynamic_slice(
+                data_dev, (o,), (L,)))(offs_d + i)
+            return jnp.sum(dp(w))
+
+        sec = _timed_scan(dtw_fn, reps)
+        W = 2 * rho + 1
+        bytes_moved = Bd * L * 4 + L * 4 + Bd * 4
+        flops = Bd * L * W * 8  # per cell: diff^2 + 2 cumulative scans + mins
+        out[f"{prefix}_gbps"] = bytes_moved / sec / 1e9
+        out[f"{prefix}_gflops"] = flops / sec / 1e9
+        out[f"{prefix}_ms"] = sec * 1e3
+        out[f"{prefix}_cands_per_s"] = Bd / sec
+
+    _dtw_fields(dp_engine, "banded_dtw")
     out["banded_dtw_shape"] = f"B={Bd} L={L} rho={rho}"
-    out["banded_dtw_cands_per_s"] = Bd / sec
+    out["banded_dtw_kernel"] = "pallas" if use_pallas else "xla"
+    if use_pallas:
+        _dtw_fields(lambda w: dtw_banded_batch(w, q, rho), "banded_dtw_xla")
 
     # --- double-single DTW confirm (the near-threshold device stage) ----------
     from ..ops.dtw import dtw_stage_ds_multi

@@ -271,3 +271,36 @@ def test_join_norm_path_matches_scan_intersect():
             assert set(base_res.offsets.tolist()) == set(join_res.offsets.tolist())
             assert off in join_res.offsets.tolist()
         eng.JOIN_CS_RATIO = type(eng).JOIN_CS_RATIO
+
+
+def test_install_pieces_matches_fallback():
+    """The fused int32 piece install (widen + counting scatter) must produce
+    the same pos-sorted and row-CSR arrays as the int64 fallback path."""
+    if native.get_lib() is None:
+        pytest.skip("native unavailable")
+    from kvmatch_tpu.index.structure import IndexScale
+
+    rng = np.random.default_rng(7)
+    R = 37
+    counts = rng.integers(0, 50, R)
+    row = np.repeat(np.arange(R, dtype=np.int64), counts)
+    n = row.size
+    left = np.sort(rng.integers(0, 10_000, n)).astype(np.int64)
+    right = left + rng.integers(0, 256, n)
+
+    def make_scale():
+        row_ptr = np.zeros(R + 1, np.int64)
+        np.cumsum(counts, out=row_ptr[1:])
+        return IndexScale(w=25, n=10_500, keys=np.arange(R, dtype=np.float64),
+                          row_ptr=row_ptr, left=None, right=None,
+                          cum_intervals=np.cumsum(counts),
+                          cum_offsets=np.cumsum(counts))
+
+    sa, sb = make_scale(), make_scale()
+    sa.set_pos_arrays(left.astype(np.int32), right.astype(np.int32),
+                      row.astype(np.int32))        # fused C pass
+    sb.set_pos_arrays(left, right, row)            # int64 fallback
+    for x, y in zip(sa.pos_sorted(), sb.pos_sorted()):
+        np.testing.assert_array_equal(x, y)
+    np.testing.assert_array_equal(sa.left, sb.left)
+    np.testing.assert_array_equal(sa.right, sb.right)
