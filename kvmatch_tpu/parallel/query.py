@@ -79,21 +79,26 @@ def _dense_probe(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
     Bucket ids advance by one per d-wide grid cell (utils/rounding.bucket_id), so
     the cell covered by bucket b is [b*d, b*d + d], widened by the probe slack."""
 
-    def body(s, acc):
-        brow = bstack[segs.scale_idx[s]]
-        shift = (segs.order[s] - 1) * unit
+    def body(acc, sg):
+        scale_idx, order, mean_lo, mean_hi, width, valid = sg
+        brow = bstack[scale_idx]
+        shift = (order - 1) * unit
         b = jax.lax.dynamic_slice(brow, (shift,), (out_len,)).astype(jnp.float32)
         key_lo = b * np.float32(d) - slack
         key_hi = key_lo + np.float32(d) + 2 * slack
-        delta = jnp.maximum(jnp.maximum(key_lo - segs.mean_hi[s],
-                                        segs.mean_lo[s] - key_hi), 0.0)
-        eps = segs.width[s] * delta * delta
-        return acc + jnp.where(segs.valid[s], eps, 0.0)
+        delta = jnp.maximum(jnp.maximum(key_lo - mean_hi,
+                                        mean_lo - key_hi), 0.0)
+        eps = width * delta * delta
+        return acc + jnp.where(valid, eps, 0.0), None
 
     # Derive the accumulator from the (possibly shard-varying) bucket stack so
-    # the fori_loop carry has consistent manual-axis types under shard_map.
+    # the scan carry has consistent manual-axis types under shard_map.  The
+    # scan is FULLY UNROLLED: a rolled loop forces the (batched) accumulator
+    # through HBM once per segment — 30x the mandatory traffic; unrolled, XLA
+    # fuses all segment contributions into one pass over the block.
     acc0 = jnp.zeros(out_len, jnp.float32) + 0.0 * bstack[0, :out_len].astype(jnp.float32)
-    return jax.lax.fori_loop(0, MAX_SEGMENTS, body, acc0)
+    acc, _ = jax.lax.scan(body, acc0, segs, unroll=True)
+    return acc
 
 
 def make_dense_query_step(icfg: IndexConfig, length: int, top_k: int = 2048,
@@ -184,10 +189,11 @@ def _dense_probe_norm(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
     s_small = sd_q / alpha
     s_big = alpha * sd_q
 
-    def body(s, carry):
+    def body(carry, sg):
         acc, exlo, exup, ex2lo, punits = carry
-        brow = bstack[segs.scale_idx[s]]
-        shift = (segs.order[s] - 1) * unit
+        scale_idx, order, mean_lo_s, mean_hi_s, width, valid = sg
+        brow = bstack[scale_idx]
+        shift = (order - 1) * unit
         b = jax.lax.dynamic_slice(brow, (shift,), (out_len,)).astype(jnp.float32)
         key_lo = b * np.float32(d) - slack
         key_hi = key_lo + np.float32(d) + 2 * slack
@@ -195,23 +201,25 @@ def _dense_probe_norm(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
         n_hi = key_hi - (mu_q - beta)
         z_lo = jnp.where(n_lo >= 0, n_lo / s_big, n_lo / s_small)
         z_hi = jnp.where(n_hi >= 0, n_hi / s_small, n_hi / s_big)
-        zq_lo = (segs.mean_lo[s] - mu_q) / sd_q
-        zq_hi = (segs.mean_hi[s] - mu_q) / sd_q
+        zq_lo = (mean_lo_s - mu_q) / sd_q
+        zq_hi = (mean_hi_s - mu_q) / sd_q
         delta = jnp.maximum(jnp.maximum(z_lo - zq_hi, zq_lo - z_hi), 0.0)
-        v = segs.valid[s]
-        k_units = segs.width[s] / unit
-        acc = acc + jnp.where(v, segs.width[s] * delta * delta, 0.0)
+        v = valid
+        k_units = width / unit
+        acc = acc + jnp.where(v, width * delta * delta, 0.0)
         exlo = exlo + jnp.where(v, key_lo * k_units, 0.0)
         exup = exup + jnp.where(v, key_hi * k_units, 0.0)
         sq = jnp.where(key_lo > 0, key_lo * key_lo,
                        jnp.where(key_hi < 0, key_hi * key_hi, 0.0))
         ex2lo = ex2lo + jnp.where(v, sq * k_units, 0.0)
         punits = punits + jnp.where(v, k_units, 0.0)
-        return acc, exlo, exup, ex2lo, punits
+        return (acc, exlo, exup, ex2lo, punits), None
 
+    # Fully unrolled for the same fusion reason as _dense_probe — with FIVE
+    # carried tracks the rolled loop costs ~5x more spurious HBM traffic here.
     zero = jnp.zeros(out_len, jnp.float32) + 0.0 * bstack[0, :out_len].astype(jnp.float32)
-    acc, exlo, exup, ex2lo, punits = jax.lax.fori_loop(
-        0, MAX_SEGMENTS, body, (zero, zero, zero, zero, jnp.float32(0.0)))
+    (acc, exlo, exup, ex2lo, punits), _ = jax.lax.scan(
+        body, (zero, zero, zero, zero, jnp.float32(0.0)), segs, unroll=True)
     punits = jnp.maximum(punits, 1.0)
 
     # Derived-sigma filter at full coverage (engine/norm_ed.py _std_filter).
