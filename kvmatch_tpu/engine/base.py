@@ -93,16 +93,34 @@ class BaseEngine:
                  qcfg: QueryConfig = DEFAULT_QUERY_CONFIG,
                  device_data=None):
         import jax.numpy as jnp
-        self.data = np.ascontiguousarray(np.asarray(data, np.float64))
+        stream = isinstance(device_data, str) and device_data == "stream"
+        data = np.asarray(data)
+        if stream and data.dtype == np.float32:
+            # Series larger than device HBM: keep the host copy f32 (an f64
+            # shadow would double a 40 GB array); exact confirms promote the
+            # f32 values per window — the same storage/math split as the
+            # reference's float family (FloatTimeSeriesNode.java:28-66).
+            self.data = np.ascontiguousarray(data)
+        else:
+            self.data = np.ascontiguousarray(np.asarray(data, np.float64))
         self.n = self.data.size
         self.icfg = icfg
         self.qcfg = qcfg
+        if index is None and stream:
+            raise ValueError("device_data='stream' requires a prebuilt index "
+                             "(use index.streaming.StreamingIndexBuilder)")
         self.index = index if index is not None else build_index_tpu(self.data, icfg)
         from ..ops.ed import pad_to_tiles
-        # Right-padded to a GATHER_TILE multiple so every phase-2 window/region
-        # gather takes the tiled barrel-shift fast path (ops/ed._gather_windows).
-        self.data_dev = pad_to_tiles(device_data if device_data is not None
-                                     else jnp.asarray(self.data, jnp.float32))
+        if stream:
+            # Streamed phase 2: the series stays on host; candidate regions
+            # travel H2D per query batch (_verify_multi_streamed).
+            self.data_dev = None
+        else:
+            # Right-padded to a GATHER_TILE multiple so every phase-2 window/
+            # region gather takes the tiled barrel-shift fast path
+            # (ops/ed._gather_windows).
+            self.data_dev = pad_to_tiles(device_data if device_data is not None
+                                         else jnp.asarray(self.data, jnp.float32))
 
     # ------------------------------------------------------------------ helpers
     def scale(self, w: int) -> IndexScale:
@@ -404,6 +422,116 @@ class BaseEngine:
         offsets = iv.expand_offsets({"left": left, "right": right})
         return self._verify(offsets, ctx)
 
+    # ------------------------------------------------------------- streamed p2
+    # Staged points per verification group: 1 GB f32 on device + the f64 host
+    # copy.  Groups beyond this are verified sequentially.
+    STREAM_MAX_STAGE = 1 << 28
+
+    def _verify_multi_streamed(self, cand_ivs, ctxs):
+        """Phase 2 for series LARGER THAN DEVICE HBM (device_data='stream').
+
+        Candidate intervals from all queries are coalesced into runs; each run
+        is staged with halos (rho for DTW envelopes, a region-width tail for
+        the packed-region kernels) into a compact host f64 buffer, shipped H2D
+        once, and verified by a sub-engine of the same class in LOCAL
+        coordinates — the full device cascade (region/FFT, LB stages, banded
+        DP, DS confirm, exact host confirms) runs unchanged because every
+        read a valid candidate triggers stays inside its own staged run.
+        Near-series-edge halos replicate the boundary point, which reproduces
+        the clamped global envelope exactly.  This is the HBM-era analog of
+        the reference's batched storage reads at n=1e10+ scales
+        (NormQueryEngine.java:454-479, LongRandomQueryTest.java:33-50)."""
+        import jax.numpy as jnp
+        from ..ops.ed import pad_to_tiles
+
+        L = ctxs[0].length
+        rho = int(ctxs[0].params.get("rho", 0) or 0)
+        halo = rho
+        # Gap/tail >= any region width _region_plan can pick (next_pow2(L)),
+        # so per-query region packing never crosses staged-run boundaries and
+        # region-row tail reads stay inside the buffer (masked columns).
+        G = 1 << int(np.ceil(np.log2(max(L, 2 * self.REGION_M))))
+        tail = L - 1 + G + halo
+        empty = (np.empty(0, np.int64), np.empty(0))
+        nz = [(l, r) for l, r in cand_ivs if l.size]
+        if not nz:
+            return [empty for _ in ctxs]
+        alll = np.concatenate([l for l, _ in nz])
+        allr = np.concatenate([r for _, r in nz])
+        order = np.argsort(alll, kind="stable")
+        alll, allr = alll[order], np.maximum.accumulate(allr[order])
+        new = np.empty(alll.size, bool)
+        new[0] = True
+        np.greater(alll[1:], allr[:-1] + G, out=new[1:])
+        starts = np.flatnonzero(new)
+        run_lo = alll[starts]
+        run_hi = allr[np.concatenate((starts[1:] - 1, [alll.size - 1]))]
+        stg_lo = run_lo - halo                      # virtual (may be < 0)
+        ext = (run_hi - stg_lo + 1) + tail          # staged length per run
+
+        # Split runs into groups under the staging budget (a single run wider
+        # than the budget still forms its own group — device HBM permitting).
+        bounds = [0]
+        acc = 0
+        for i, e in enumerate(ext):
+            if acc and acc + e > self.STREAM_MAX_STAGE:
+                bounds.append(i)
+                acc = 0
+            acc += int(e)
+        bounds.append(ext.size)
+
+        results = [[] for _ in ctxs]
+        acc_dev = [0] * len(ctxs)
+        acc_host = [0] * len(ctxs)
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            g_stg_lo = stg_lo[g0:g1]
+            g_ext = ext[g0:g1]
+            loc0 = np.concatenate(([0], np.cumsum(g_ext)[:-1]))
+            buf = np.empty(int(g_ext.sum()), np.float64)
+            for i in range(g_ext.size):
+                a = int(g_stg_lo[i])
+                b = a + int(g_ext[i])
+                dst = buf[int(loc0[i]): int(loc0[i]) + (b - a)]
+                s, e = max(a, 0), min(b, self.n)
+                dst[s - a: s - a + (e - s)] = self.data[s:e]
+                if s > a:
+                    dst[: s - a] = self.data[0]
+                if b > e:
+                    dst[e - a:] = self.data[self.n - 1]
+            sub = object.__new__(type(self))
+            sub.data = buf
+            sub.n = buf.size
+            sub.icfg = self.icfg
+            sub.qcfg = self.qcfg
+            sub.index = {}
+            sub.data_dev = pad_to_tiles(jnp.asarray(buf, jnp.float32))
+            lo_g, hi_g = int(run_lo[g0]), int(run_hi[g1 - 1])
+            local_ivs = []
+            for l, r in cand_ivs:
+                sel = (l >= lo_g) & (l <= hi_g) if l.size else np.zeros(0, bool)
+                li, ri = l[sel], r[sel]
+                ridx = np.searchsorted(run_lo[g0:g1], li, side="right") - 1
+                local_ivs.append((li - g_stg_lo[ridx] + loc0[ridx],
+                                  ri - g_stg_lo[ridx] + loc0[ridx]))
+            sub_res = sub._verify_multi(local_ivs, ctxs)
+            for qi, (lo_offs, dists) in enumerate(sub_res):
+                acc_dev[qi] += ctxs[qi].stats.n_device_checked
+                acc_host[qi] += ctxs[qi].stats.n_host_rechecked
+                if lo_offs.size:
+                    ridx = np.searchsorted(loc0, lo_offs, side="right") - 1
+                    results[qi].append((lo_offs - loc0[ridx] + g_stg_lo[ridx],
+                                        dists))
+        out = []
+        for qi, parts in enumerate(results):
+            ctxs[qi].stats.n_device_checked = acc_dev[qi]
+            ctxs[qi].stats.n_host_rechecked = acc_host[qi]
+            if parts:
+                out.append((np.concatenate([p[0] for p in parts]),
+                            np.concatenate([p[1] for p in parts])))
+            else:
+                out.append(empty)
+        return out
+
     # ------------------------------------------------------------------ phase 1
     def _phase1(self, segments: List[QuerySegment], ctx: _Ctx
                 ) -> Tuple[Dict[str, np.ndarray], int]:
@@ -536,6 +664,8 @@ class BaseEngine:
         """True when phase 1 should run as the device dense probe: even the
         most selective plan segment is dense enough that host interval algebra
         would churn through 1e8-interval intermediates."""
+        if self.data_dev is None:  # streamed mode: phase 1 stays on host
+            return False
         cutoff = self.qcfg.dense_probe_min_count
         return (cutoff is not None and bool(segments)
                 and min(s.count for s in segments) > cutoff)
@@ -682,6 +812,8 @@ class BaseEngine:
         capacity transparently rerun through the exact host phase-1 path, so
         results are always complete.  ``top_k`` is kept for API compatibility;
         capacity is max(top_k, DENSE_PROBE_K)."""
+        if self.data_dev is None:  # streamed mode: no device-resident series
+            return self.query_batch(queries, epsilon, **params)
         import time as _time
         queries = np.atleast_2d(np.asarray(queries, np.float64))
         nq, L = queries.shape

@@ -40,6 +40,8 @@ class NormQueryEngineDtw(NormQueryEngine):
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query cNSM-DTW: exact host constraint prefilter, then
         z-normalized LB cascade + banded DP with per-candidate query rows."""
+        if self.data_dev is None:
+            return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp
 
         L = ctxs[0].length
@@ -89,7 +91,8 @@ class NormQueryEngineDtw(NormQueryEngine):
         lb = vf.run_bucketed(
             lambda o, q: lb_stage_znorm_multi(data_dev, env_lo, env_hi, zq_m,
                                               lo_m, hi_m, cons, o, q, L),
-            total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch)
+            total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch,
+            width=L)
         surv = lb <= threshs[qids]
         s_off, s_qid = offsets[surv], qids[surv]
         per_q = [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
@@ -99,7 +102,7 @@ class NormQueryEngineDtw(NormQueryEngine):
             d2 = vf.run_bucketed(
                 lambda o, q: dtw_stage_znorm_multi(data_dev, zq_m, o, q, L, rho),
                 s_off.size, s_off.astype(np.int32),
-                s_qid, lo=min(self.qcfg.verify_batch, 1024))
+                s_qid, lo=min(self.qcfg.verify_batch, 1024), width=L)
             near_mask = d2 <= threshs[s_qid]
             n_off, n_qid = s_off[near_mask], s_qid[near_mask]
             # Double-single device confirm (see rsm_dtw._verify_multi): the
@@ -124,7 +127,7 @@ class NormQueryEngineDtw(NormQueryEngine):
                         data_dev, zq_m, o, q, m, s, L, rho),
                     n_off.size, n_off.astype(np.int32), n_qid,
                     mu64.astype(np.float32), safe64.astype(np.float32),
-                    lo=min(self.qcfg.verify_batch, 1024))
+                    lo=min(self.qcfg.verify_batch, 1024), width=2 * L)
                 d2ds = ds_value(hi, lo_)
                 zqmax = np.array([float(np.abs(z).max()) for z in zqs])
                 g = vf.ds_guard(d2ds, L, amp.astype(np.float64)

@@ -425,6 +425,8 @@ class NormQueryEngine(BaseEngine):
         """Fused multi-query z-norm verification: region/conv (MASS) path for
         clustered candidates, exact host constraint prefilter + gather kernel for
         scattered ones."""
+        if self.data_dev is None:
+            return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp
         L = ctxs[0].length
         for (l, r), ctx in zip(cand_ivs, ctxs):
@@ -452,7 +454,7 @@ class NormQueryEngine(BaseEngine):
                 lambda s_, q_, vf_, vt_: region_znorm_near_multi(
                     data_dev, qm, s_, q_, vf_, vt_, th_dev, cons_dev,
                     L, M, NEAR_K),
-                starts, vfrom, vto, qids, NEAR_K)
+                starts, vfrom, vto, qids, NEAR_K, width=M + L - 1)
             if near is not None:
                 near_off, near_qid = near
                 return [self._confirm_znorm_exact(
@@ -461,7 +463,8 @@ class NormQueryEngine(BaseEngine):
             d2, mu, sd, derr = vf.run_bucketed(
                 lambda s_, q_: region_znorm_distances_multi(
                     data_dev, qm, s_, q_, L, M),
-                starts.size, starts.astype(np.int32), qids, lo=32, hi=2048)
+                starts.size, starts.astype(np.int32), qids, lo=32, hi=2048,
+                width=M + L - 1)
             # Guarded constraint + distance prefilter per offset.
             alphas = np.array([c.params["alpha"] for c in ctxs])
             betas = np.array([c.params["beta"] for c in ctxs])
@@ -502,7 +505,7 @@ class NormQueryEngine(BaseEngine):
         d2, mu, sd = vf.run_bucketed(
             lambda o, q: znorm_ed_distances_multi(data_dev, qm, o, q, L),
             total, offsets.astype(np.int32), qids,
-            lo=self.qcfg.verify_batch)
+            lo=self.qcfg.verify_batch, width=L)
         results = []
         start = 0
         for qi, ctx in enumerate(ctxs):
@@ -572,5 +575,5 @@ class NormQueryEngine(BaseEngine):
         d2, mu, sd = vf.run_bucketed(
             lambda o: znorm_ed_distances(data_dev, q32, o, L),
             offsets.size, offsets.astype(np.int32),
-            lo=self.qcfg.verify_batch)
+            lo=self.qcfg.verify_batch, width=L)
         return self._confirm_znorm(offsets, d2, mu, sd, ctx)

@@ -43,6 +43,8 @@ class QueryEngineDtw(QueryEngine):
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query DTW verification: LB cascade then banded DP, with
         per-candidate query rows so one launch stream serves the whole batch."""
+        if self.data_dev is None:
+            return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp
         from ..utils import intervals as iv
 
@@ -81,7 +83,8 @@ class QueryEngineDtw(QueryEngine):
         lb = vf.run_bucketed(
             lambda o, q: lb_stage_multi(data_dev, env_lo, env_hi, qm, lo_m,
                                         hi_m, o, q, L),
-            total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch)
+            total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch,
+            width=L)
         surv = lb <= threshs[qids]
         s_off, s_qid = offsets[surv], qids[surv]
         per_q = [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
@@ -91,7 +94,7 @@ class QueryEngineDtw(QueryEngine):
             d2 = vf.run_bucketed(
                 lambda o, q: dtw_stage_multi(data_dev, qm, o, q, L, rho),
                 s_off.size, s_off.astype(np.int32),
-                s_qid, lo=min(self.qcfg.verify_batch, 1024))
+                s_qid, lo=min(self.qcfg.verify_batch, 1024), width=L)
             near_mask = d2 <= threshs[s_qid]
             n_off, n_qid = s_off[near_mask], s_qid[near_mask]
             cols = np.arange(L)
@@ -106,7 +109,7 @@ class QueryEngineDtw(QueryEngine):
                 hi, lo_, amax = vf.run_bucketed(
                     lambda o, q: dtw_stage_ds_multi(data_dev, qm, o, q, L, rho),
                     n_off.size, n_off.astype(np.int32), n_qid,
-                    lo=min(self.qcfg.verify_batch, 1024))
+                    lo=min(self.qcfg.verify_batch, 1024), width=2 * L)
                 d2ds = ds_value(hi, lo_)
                 qmax = np.array([float(np.abs(c.query).max()) for c in ctxs])
                 g = vf.ds_guard(d2ds, L, amax.astype(np.float64)

@@ -188,6 +188,8 @@ class QueryEngine(BaseEngine):
         """Fused multi-query verification.  Clustered candidate sets go through
         the region/conv path (MXU sliding correlation, ops/regions.py); scattered
         ones through the per-candidate gather kernel."""
+        if self.data_dev is None:
+            return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp
         L = ctxs[0].length
         threshs = np.array([c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
@@ -213,7 +215,7 @@ class QueryEngine(BaseEngine):
             near = vf.run_region_near(
                 lambda s_, q_, vf_, vt_: region_ed_near_multi(
                     data_dev, qm, s_, q_, vf_, vt_, th_dev, L, M, NEAR_K, c),
-                starts, vfrom, vto, qids, NEAR_K)
+                starts, vfrom, vto, qids, NEAR_K, width=M + L - 1)
             if logger.isEnabledFor(logging.DEBUG):
                 logger.debug("region near path: %d regions, %.2fs, overflow=%s",
                              starts.size, _t.perf_counter() - t0, near is None)
@@ -225,7 +227,8 @@ class QueryEngine(BaseEngine):
             d2, err = vf.run_bucketed(
                 lambda s_, q_: region_ed_distances_multi(
                     data_dev, qm, s_, q_, L, M, c),
-                starts.size, starts.astype(np.int32), qids, lo=32, hi=2048)
+                starts.size, starts.astype(np.int32), qids, lo=32, hi=2048,
+                width=M + L - 1)
             col = np.arange(M)[None, :]
             nearm = ((col >= vfrom[:, None]) & (col < vto[:, None]) &
                      (d2 <= threshs[qids][:, None] + err))
@@ -251,7 +254,7 @@ class QueryEngine(BaseEngine):
         d2 = vf.run_bucketed(
             lambda o, q: ed_distances_multi(data_dev, qm, o, q, L),
             total, offsets.astype(np.int32), qids,
-            lo=self.qcfg.verify_batch)
+            lo=self.qcfg.verify_batch, width=L)
         results = []
         start = 0
         for qi, ctx in enumerate(ctxs):
@@ -267,7 +270,7 @@ class QueryEngine(BaseEngine):
         q32 = jnp.asarray(ctx.query, jnp.float32)
         kernel = self._kernel(ctx.length)
         d2 = vf.device_distances(offsets, self.qcfg.verify_batch,
-                                 lambda o: kernel(q32, o))
+                                 lambda o: kernel(q32, o), width=ctx.length)
         ctx.stats.n_device_checked = int(offsets.size)
         thresh = ctx.eps2 + vf.guard_threshold(ctx.eps2, ctx.length, self.qcfg.verify_guard)
         near = offsets[d2 <= thresh]

@@ -189,6 +189,8 @@ def intersect_with_sorted(cs: Dict[str, np.ndarray], raw: Dict[str, np.ndarray]
 def expand_offsets(cs: Dict[str, np.ndarray], limit: int | None = None) -> np.ndarray:
     """Materialize every offset contained in the interval set as a flat int64 array."""
     left, right = cs["left"], cs["right"]
+    if left.size == 0:
+        return np.empty(0, np.int64)
     counts = (right - left + 1).astype(np.int64)
     total = int(counts.sum())
     if limit is not None and total > limit:

@@ -30,22 +30,33 @@ def pad_batches(offsets: np.ndarray, batch: int) -> np.ndarray:
     return offsets
 
 
-def bucket_size(m: int, lo: int = 1024, hi: int = 65536) -> int:
+#: HBM working-set cap for one phase-2 launch, in ELEMENTS of the (B, width)
+#: candidate matrix.  The deepest stage (z-norm LB cascade) holds ~8 live
+#: (B, width) f32 temps, so 2^27 elements keeps one launch under ~4.3 GB of
+#: temps next to the resident series (a B=65536 x L=8192 launch compiled to a
+#: 16.25 GB program and OOM'd a 16 GB chip).
+VERIFY_TEMP_ELEMS = 1 << 27
+
+
+def bucket_size(m: int, lo: int = 1024, hi: int = 65536, width: int = 1) -> int:
     """Padded launch size: next power of two >= m within [lo, hi].  Each distinct
     bucket size compiles once; a whole candidate set up to ``hi`` runs as ONE
     device launch — under a high-latency link (the dev tunnel adds ~25ms per
-    transfer) launch count, not FLOPs, dominates phase-2 latency."""
+    transfer) launch count, not FLOPs, dominates phase-2 latency.  ``width``
+    is the per-candidate row length (L, or M+L-1 for regions): long rows cap
+    the batch so the launch's temp working set fits HBM."""
+    hi = max(lo, min(hi, VERIFY_TEMP_ELEMS // max(width, 1)))
     b = lo
-    while b < m and b < hi:
+    while b < m and 2 * b <= hi:
         b *= 2
     return b
 
 
 def run_bucketed(kernel: Callable, m: int, *arrays: np.ndarray,
-                 lo: int = 1024, hi: int = 65536):
+                 lo: int = 1024, hi: int = 65536, width: int = 1):
     """Run ``kernel(*slices)`` over bucket-padded chunks of the given parallel
     arrays; returns the kernel outputs (array or tuple) trimmed to ``m`` rows."""
-    batch = bucket_size(m, lo, hi)
+    batch = bucket_size(m, lo, hi, width)
     padded = [pad_batches(a, batch) for a in arrays]
     outs = None
     for s in range(0, padded[0].size, batch):
@@ -63,12 +74,14 @@ def run_bucketed(kernel: Callable, m: int, *arrays: np.ndarray,
 
 
 def device_distances(offsets: np.ndarray, batch: int,
-                     kernel: Callable[[np.ndarray], np.ndarray]) -> np.ndarray:
+                     kernel: Callable[[np.ndarray], np.ndarray],
+                     width: int = 1) -> np.ndarray:
     """Run ``kernel`` (a jit'd (B,)->... distance function) over bucket-padded
     batches; ``batch`` is the minimum bucket size."""
     if offsets.size == 0:
         return np.empty(0, np.float32)
-    return run_bucketed(kernel, offsets.size, offsets.astype(np.int32), lo=batch)
+    return run_bucketed(kernel, offsets.size, offsets.astype(np.int32),
+                        lo=batch, width=width)
 
 
 def guard_threshold(eps2: float, length: int, guard: float) -> float:
@@ -108,7 +121,7 @@ def ds_guard(d2: np.ndarray, length: int, amp: np.ndarray) -> np.ndarray:
 
 def run_region_near(kernel: Callable, starts: np.ndarray, vfrom: np.ndarray,
                     vto: np.ndarray, qids: np.ndarray, near_k: int,
-                    lo: int = 32, hi: int = 8192):
+                    lo: int = 32, hi: int = 8192, width: int = 1):
     """Drive an on-device near-selection region kernel over bucket-padded chunks.
 
     ``kernel(starts, qids, vfrom, vto) -> (count, rows, cols)`` with rows/cols
@@ -116,7 +129,7 @@ def run_region_near(kernel: Callable, starts: np.ndarray, vfrom: np.ndarray,
     (near_offsets, near_qids) or None if any chunk overflowed ``near_k`` (the
     caller then falls back to the full-matrix path)."""
     m = starts.size
-    batch = bucket_size(m, lo, hi)
+    batch = bucket_size(m, lo, hi, width)
     pad = (-m) % batch
     if pad:
         z = np.zeros(pad, np.int64)

@@ -1,0 +1,111 @@
+"""Streamed phase-2 mode (device_data='stream').
+
+The engines must produce EXACTLY the same answer sets as the resident-mode
+engines: staging candidate regions into a compact buffer (with halos) and
+verifying in local coordinates is a pure re-addressing of the same reads.
+Covers all four engines, the multi-group staging split, the f32 host-data
+variant, and series-edge candidates (halo replication).
+"""
+
+import numpy as np
+import pytest
+
+from kvmatch_tpu.config import IndexConfig
+from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+from kvmatch_tpu.engine.rsm_ed import QueryEngine
+from kvmatch_tpu.index.build import build_index_numpy
+
+ENGINES = [
+    (QueryEngine, {}),
+    (QueryEngineDtw, {"rho": 20}),
+    (NormQueryEngine, {"alpha": 1.3, "beta": 6.0}),
+    (NormQueryEngineDtw, {"rho": 20, "alpha": 1.3, "beta": 6.0}),
+]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(42)
+    data = np.cumsum(rng.standard_normal(120_000)) * 0.25
+    idx = build_index_numpy(data)
+    return data, idx
+
+
+def _answers(res):
+    return set(np.asarray(res.offsets).tolist())
+
+
+@pytest.mark.parametrize("cls,params", ENGINES,
+                         ids=[c.__name__ for c, _ in ENGINES])
+def test_streamed_matches_resident(setup, cls, params):
+    data, idx = setup
+    res_e = cls(data, index=idx, icfg=IndexConfig())
+    str_e = cls(data, index=idx, icfg=IndexConfig(), device_data="stream")
+    assert str_e.data_dev is None
+    cases = [(1234, 512, 5.0), (77_777, 1024, 8.0),
+             (0, 512, 4.0), (120_000 - 512, 512, 4.0)]  # series edges
+    for off, L, eps in cases:
+        q = data[off:off + L]
+        a = res_e.query(q, eps, **params)
+        b = str_e.query(q, eps, **params)
+        assert _answers(a) == _answers(b)
+        assert off in _answers(b)
+        np.testing.assert_allclose(np.sort(a.distances), np.sort(b.distances),
+                                   rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("cls,params", ENGINES[:2],
+                         ids=[c.__name__ for c, _ in ENGINES[:2]])
+def test_streamed_multi_group(setup, cls, params):
+    """Forcing a tiny staging budget splits verification into many groups;
+    answers must be unchanged."""
+    data, idx = setup
+    res_e = cls(data, index=idx, icfg=IndexConfig())
+    str_e = cls(data, index=idx, icfg=IndexConfig(), device_data="stream")
+    str_e.STREAM_MAX_STAGE = 1 << 13
+    offs = [5_000, 30_000, 60_000, 90_000]
+    L, eps = 512, 6.0
+    qs = np.stack([data[o:o + L] for o in offs])
+    a = res_e.query_batch(qs, eps, **params)
+    b = str_e.query_batch(qs, eps, **params)
+    for o, ra, rb in zip(offs, a, b):
+        assert _answers(ra) == _answers(rb)
+        assert o in _answers(rb)
+
+
+def test_streamed_f32_host(setup):
+    """f32 host data (the no-f64-shadow big-series layout): answers equal a
+    resident engine over the f64 promotion of the same f32 values."""
+    data, _ = setup
+    d32 = data.astype(np.float32)
+    d64 = d32.astype(np.float64)
+    idx = build_index_numpy(d64)
+    res_e = QueryEngine(d64, index=idx, icfg=IndexConfig())
+    str_e = QueryEngine(d32, index=idx, icfg=IndexConfig(),
+                        device_data="stream")
+    assert str_e.data.dtype == np.float32
+    for off, L, eps in [(1234, 512, 5.0), (50_000, 1024, 8.0)]:
+        a = res_e.query(d64[off:off + L], eps)
+        b = str_e.query(str_e.data[off:off + L], eps)
+        assert _answers(a) == _answers(b)
+
+
+def test_streamed_batch_device_falls_back(setup):
+    data, idx = setup
+    str_e = QueryEngine(data, index=idx, icfg=IndexConfig(),
+                        device_data="stream")
+    offs = [5_000, 30_000]
+    L, eps = 512, 6.0
+    qs = np.stack([data[o:o + L] for o in offs])
+    res = str_e.query_batch_device(qs, eps)
+    for o, r in zip(offs, res):
+        assert o in _answers(r)
+
+
+def test_streamed_requires_index(setup):
+    data, _ = setup
+    with pytest.raises(ValueError, match="stream"):
+        QueryEngine(data, index=None, icfg=IndexConfig(),
+                    device_data="stream")
