@@ -44,6 +44,23 @@ class IndexConfig:
     # Chunk length for the streaming (out-of-core) build path.
     build_chunk: int = 2 ** 24
 
+    def __post_init__(self) -> None:
+        # The planner's DP maps list position k-1 -> segment width unit*k
+        # (QueryEngine.java:464-474 iterates Wu multiples of WuList[0]), so
+        # wu_list must be the dense unit*k ladder with an enabled mask — a
+        # sparse list like (100, 400) silently yields empty query plans.
+        if len(self.wu_list) != len(self.wu_enabled):
+            raise ValueError("wu_list and wu_enabled lengths differ")
+        unit = self.wu_list[0]
+        if not self.wu_enabled[0]:
+            raise ValueError("the unit scale wu_list[0] must be enabled")
+        for i, w in enumerate(self.wu_list):
+            if w != unit * (i + 1):
+                raise ValueError(
+                    f"wu_list must be consecutive multiples of the unit "
+                    f"({unit}): position {i} holds {w}, expected {unit * (i + 1)}. "
+                    f"Disable unused widths via wu_enabled instead of omitting them.")
+
     @property
     def d(self) -> float:
         return 0.5 * 10.0 ** (1 - self.pos_of_d)

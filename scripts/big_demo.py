@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Single-chip demo at n >= 1e10 — the reference's LongRandomQueryTest scales
+(mapreduce/experiments/LongRandomQueryTest.java:33-50 runs n = 10^10..10^12 on
+a Hadoop/HBase cluster; here one chip + one host).
+
+Pipeline:
+  1. chunked synthetic generation (independent seeded segments, matching the
+     reference generator's segment-concatenation design) into ONE f32 host
+     array (no f64 shadow: 1e10 points = 40 GB);
+  2. StreamingIndexBuilder over the f64 chunks (scale subset, reference-default
+     d=0.5 via pos_of_d=1) — global row merge, int64 positions;
+  3. engines in device_data='stream' mode: host phase 0/1 over the int64
+     index, phase 2 stages candidate regions H2D and runs the device cascade.
+
+Usage: python scripts/big_demo.py [--n 10000000000] [--queries 4]
+Prints one JSON line per section (consumed by docs/results_r3.md).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000_000)
+    ap.add_argument("--chunk", type=int, default=250_000_000)
+    ap.add_argument("--queries", type=int, default=4)
+    ap.add_argument("--length", type=int, default=8192)
+    ap.add_argument("--eps-ed", type=float, default=10.0)
+    ap.add_argument("--eps-cnsm", type=float, default=4.0)
+    ap.add_argument("--pos-of-d", type=int, default=1)  # d = 0.5 (ref default)
+    ap.add_argument("--dtw", action="store_true",
+                    help="also run one cNSM-DTW self-query")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_kvmatch")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    import jax.numpy as jnp
+    _ = np.asarray(jnp.ones(16))  # warm the link before timings
+
+    from kvmatch_tpu.config import IndexConfig, QueryConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.engine.rsm_ed import QueryEngine
+    from kvmatch_tpu.index.streaming import StreamingIndexBuilder
+    from kvmatch_tpu.index.structure import total_memory_bytes
+
+    n = args.n
+    # Scale subset {100, 400}: unit 100 serves L >= 100; fewer/wider scales
+    # keep the interval count (and host RAM) bounded at n=1e10.  wu_list must
+    # be the dense unit*k ladder with an enabled mask (reference WuList form).
+    icfg = IndexConfig(wu_list=(100, 200, 300, 400),
+                       wu_enabled=(True, False, False, True),
+                       pos_of_d=args.pos_of_d)
+    log(section="config", n=n, scales=list(icfg.scales), d=icfg.d,
+        length=args.length)
+
+    data32 = np.empty(n, np.float32)
+    builder = StreamingIndexBuilder(icfg)
+    t0 = time.perf_counter()
+    t_gen = t_append = 0.0
+    pos = 0
+    i = 0
+    while pos < n:
+        m = min(args.chunk, n - pos)
+        t1 = time.perf_counter()
+        chunk = generate_series(m, seed=910_000 + i)
+        t2 = time.perf_counter()
+        builder.append(chunk)
+        t3 = time.perf_counter()
+        data32[pos:pos + m] = chunk
+        t_gen += t2 - t1
+        t_append += t3 - t2
+        pos += m
+        i += 1
+        if i % 8 == 0:
+            log(section="progress", pts=pos, gen_s=round(t_gen, 1),
+                append_s=round(t_append, 1))
+    del chunk
+    log(section="ingest", sec=round(time.perf_counter() - t0, 1),
+        gen_s=round(t_gen, 1), append_s=round(t_append, 1),
+        append_mpts_per_s=round(n * len(icfg.scales) / max(t_append, 1e-9)
+                                / 1e6, 1))
+
+    t0 = time.perf_counter()
+    index = builder.build()
+    build_s = time.perf_counter() - t0
+    log(section="build", sec=round(build_s, 1),
+        total_mpts_per_s=round(n * len(icfg.scales)
+                               / max(t_append + build_s, 1e-9) / 1e6, 1),
+        rows={w: int(s.keys.size) for w, s in index.items()},
+        intervals={w: int(s.num_intervals) for w, s in index.items()},
+        index_gb=round(total_memory_bytes(index) / 1e9, 2))
+    # Drop the builder's run caches before querying (tens of GB at 1e10).
+    del builder
+
+    qcfg = QueryConfig.tpu_tuned()
+    rng = np.random.default_rng(7)
+    offs = np.sort(rng.integers(0, n - args.length, args.queries))
+    L = args.length
+
+    eng = QueryEngine(data32, index=index, icfg=icfg, qcfg=qcfg,
+                      device_data="stream")
+    for tag, off in [("warm", int(offs[0]))] + \
+            [(f"q{j}", int(o)) for j, o in enumerate(offs)]:
+        q = data32[off:off + L].astype(np.float64)
+        t0 = time.perf_counter()
+        r = eng.query(q, args.eps_ed)
+        log(section=f"rsm_ed_{tag}", offset=off,
+            ms=round((time.perf_counter() - t0) * 1e3, 1),
+            found=bool(off in r.offsets.tolist()),
+            answers=int(r.stats.n_answers), cands=int(r.stats.n_candidates),
+            p1_ms=round(r.stats.t_phase1_ms, 1),
+            p2_ms=round(r.stats.t_phase2_ms, 1))
+
+    neng = NormQueryEngine(data32, index=index, icfg=icfg, qcfg=qcfg,
+                           device_data="stream")
+    for tag, off in [("warm", int(offs[0]))] + \
+            [(f"q{j}", int(o)) for j, o in enumerate(offs)]:
+        q = data32[off:off + L].astype(np.float64)
+        t0 = time.perf_counter()
+        r = neng.query(q, args.eps_cnsm, alpha=1.2, beta=5.0)
+        log(section=f"cnsm_ed_{tag}", offset=off,
+            ms=round((time.perf_counter() - t0) * 1e3, 1),
+            found=bool(off in r.offsets.tolist()),
+            answers=int(r.stats.n_answers), cands=int(r.stats.n_candidates),
+            p1_ms=round(r.stats.t_phase1_ms, 1),
+            p2_ms=round(r.stats.t_phase2_ms, 1))
+
+    if args.dtw:
+        deng = NormQueryEngineDtw(data32, index=index, icfg=icfg, qcfg=qcfg,
+                                  device_data="stream")
+        off = int(offs[0])
+        q = data32[off:off + L].astype(np.float64)
+        t0 = time.perf_counter()
+        r = deng.query(q, args.eps_cnsm, rho=int(0.05 * L),
+                       alpha=1.2, beta=5.0)
+        log(section="cnsm_dtw_q0", offset=off,
+            ms=round((time.perf_counter() - t0) * 1e3, 1),
+            found=bool(off in r.offsets.tolist()),
+            answers=int(r.stats.n_answers), cands=int(r.stats.n_candidates))
+    log(section="done")
+
+
+if __name__ == "__main__":
+    main()
