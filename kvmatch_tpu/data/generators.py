@@ -64,4 +64,4 @@ def generate_series(n: int, seed: int = 0, max_segment_frac: float = 0.01,
         gen = GENERATORS[int(rng.integers(0, len(GENERATORS)))]
         out[pos:pos + seg_len] = gen(rng, max(seg_len, 2))[:seg_len]
         pos += seg_len
-    return out.astype(dtype)
+    return out.astype(dtype, copy=False)
