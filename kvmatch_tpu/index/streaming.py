@@ -73,8 +73,13 @@ class StreamingIndexBuilder:
         self.scales = tuple(cfg.scales)
         self.w_max = max(self.scales)
         self.n = 0                              # total points appended
-        self._tail = np.empty(0, np.float64)    # last w_max - 1 points
+        self._tail = np.empty(0, np.float64)    # last w_max - 1 points (owned copy)
         self._c_prefix = 0.0                    # global cumsum value at tail[0]
+        # Persistent append scratch: [prefix, tail, chunk] and its cumsum.
+        # Fresh multi-GB allocations fault at tens of MB/s on slow hosts, so
+        # reusing these buffers is worth ~5x on append throughput.
+        self._buf = np.empty(0, np.float64)
+        self._cbuf = np.empty(0, np.float64)
         # Cached per-scale UNCAPPED run lists (the merge input after cap split).
         self._ib: Dict[int, List[np.ndarray]] = {w: [] for w in self.scales}
         self._l: Dict[int, List[np.ndarray]] = {w: [] for w in self.scales}
@@ -89,19 +94,30 @@ class StreamingIndexBuilder:
         if chunk.size == 0:
             return
         n_old = self.n
-        ext = np.concatenate([self._tail, chunk])
-        base = n_old - self._tail.size          # global position of ext[0]
+        t_len = self._tail.size
+        ext_len = t_len + chunk.size
+        base = n_old - t_len                    # global position of ext[0]
         # Continue the GLOBAL sequential cumsum fold: seeding np.cumsum with the
         # carried prefix value reproduces cumsum(full_series)[base:] bit-for-bit
         # (np.cumsum is a sequential left fold), so bucket ids are identical to
-        # a from-scratch build — not merely close.
-        c1 = np.cumsum(np.concatenate(([self._c_prefix], ext)))
+        # a from-scratch build — not merely close.  The [prefix, tail, chunk]
+        # staging buffer and the cumsum output live in reused scratch.
+        need = ext_len + 1
+        if self._buf.size < need:
+            self._buf = np.empty(need, np.float64)
+            self._cbuf = np.empty(need, np.float64)
+        buf = self._buf[:need]
+        buf[0] = self._c_prefix
+        buf[1:1 + t_len] = self._tail
+        buf[1 + t_len:need] = chunk
+        c1 = self._cbuf[:need]
+        np.cumsum(buf, out=c1)
         for w in self.scales:
-            if ext.size < w:
+            if ext_len < w:
                 continue
             first_new = max(n_old - w + 1, 0)   # global start of first new window
             lo_ext = first_new - base           # its index into ext
-            m = ext.size - w + 1 - lo_ext       # number of new windows
+            m = ext_len - w + 1 - lo_ext        # number of new windows
             if m <= 0:
                 continue
             sub = np.ascontiguousarray(c1[lo_ext:])
@@ -125,11 +141,13 @@ class StreamingIndexBuilder:
                 self._r[w].append(r)
         self.n = n_old + chunk.size
         keep = self.w_max - 1
-        if ext.size >= keep:
-            self._tail = ext[-keep:]
-            self._c_prefix = float(c1[ext.size - keep])
+        # Copy the tail out of the scratch (a view would alias the next append
+        # AND would pin the whole chunk-sized buffer alive).
+        if ext_len >= keep:
+            self._tail = buf[need - keep:need].copy()
+            self._c_prefix = float(c1[ext_len - keep])
         else:
-            self._tail = ext
+            self._tail = buf[1:need].copy()
 
     # ------------------------------------------------------------------ build
     def build(self) -> Index:
