@@ -11,6 +11,12 @@ See README.md for the architecture and PARITY.md for the reference component map
 """
 
 from .config import IndexConfig, QueryConfig
+from .utils.hostmem import tune_glibc_malloc as _tune_malloc
+
+# Large NumPy temps otherwise mmap/munmap-cycle and re-fault on every use —
+# tens of MB/s on slow hosts (see utils/hostmem.py).  Best-effort, opt-out
+# via KVMATCH_NO_MALLOC_TUNE=1.
+_tune_malloc()
 
 __all__ = [
     "IndexConfig", "QueryConfig",
