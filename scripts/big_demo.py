@@ -48,7 +48,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
-    _ = np.asarray(jnp.ones(16))  # warm the link before timings
 
     from kvmatch_tpu.config import IndexConfig, QueryConfig
     from kvmatch_tpu.data.generators import generate_series
@@ -106,6 +105,12 @@ def main():
         index_gb=round(total_memory_bytes(index) / 1e9, 2))
     # Drop the builder's run caches before querying (tens of GB at 1e10).
     del builder
+
+    # Warm the device link only now: ingest + build are pure host work, so a
+    # temporarily unreachable TPU tunnel doesn't stall them.
+    t0 = time.perf_counter()
+    _ = np.asarray(jnp.ones(16))
+    log(section="device_warm", sec=round(time.perf_counter() - t0, 1))
 
     qcfg = QueryConfig.tpu_tuned()
     rng = np.random.default_rng(7)
