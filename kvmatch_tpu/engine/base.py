@@ -713,21 +713,23 @@ class BaseEngine:
                 np.asarray(run_r), cand_k)
 
     def _dense_probe_retry(self, ctxs, seg_lists):
-        """Fly probe with a gap-coalescing retry schedule: queries whose
+        """Fly probe with a two-stage overflow ladder: queries whose
         run-compressed candidate set overflows the K-run buffer at gap=1 are
-        re-probed with growing coalescing gaps (unit, 8*unit, 64*unit) so a
-        fragmented flood (>8M runs at n=1e8 cNSM) collapses into bounded
-        intervals instead of falling back to host interval algebra.  Interior
-        gap positions are over-coverage the exact phase 2 rejects.  Returns
-        {query_index_in_group: (left i64, right i64)}; queries still
-        overflowing at the widest gap are absent (callers host-fallback)."""
+        re-probed once with gap-coalescing (runs separated by < unit collapse
+        into one interval), and anything still overflowing takes the FLAG
+        probe — a fixed-size per-block candidate bitmap that cannot overflow
+        at any density (VERDICT r2 item 3: the n=1e8 cNSM flood fragments
+        into >8M runs/query).  Interior gap / flag-block positions are
+        over-coverage the exact phase 2 rejects — sound by construction.
+        Returns {query_index_in_group: (left i64, right i64)}; every query in
+        the group is present (no host fallback needed)."""
         out = {}
         pending = set(range(len(ctxs)))
         unit = self.icfg.unit
         # Re-probe the FULL group each round: the probe program is shape-keyed
         # on Q, so shrinking the group would recompile (minutes on a tunnel
         # link); one redundant pass over solved queries is far cheaper.
-        for gap in (1, unit, 8 * unit, 64 * unit):
+        for gap in (1, unit):
             n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
                 ctxs, seg_lists, gap=gap)
             for qi in sorted(pending):
@@ -739,7 +741,60 @@ class BaseEngine:
             pending -= set(out)
             if not pending:
                 break
+        if pending:
+            n_off, flags = self._device_dense_phase1_flags(ctxs, seg_lists)
+            m = self.n - ctxs[0].length + 1
+            for qi in sorted(pending):
+                ctxs[qi].stats.n_candidates = int(n_off[qi])
+                out[qi] = self._flags_to_intervals(flags[qi], m)
         return out
+
+    FLAG_BLOCK = 256  # position granularity of the overflow-proof flag probe
+
+    def _device_dense_phase1_flags(self, ctxs, seg_lists):
+        """Overflow-proof flood phase 1: one fly-probe pass emitting per-
+        FLAG_BLOCK candidate flags (bool[Q, n/FLAG_BLOCK]) plus exact
+        candidate counts.  Output size is fixed at any candidate density —
+        ~0.4 MB/query at n=1e8 vs 256 MB/query of run buffers."""
+        import jax.numpy as jnp
+        from ..parallel.query import (make_dense_probe_step_flags,
+                                      pack_segments_batch)
+        L = ctxs[0].length
+        norm = "alpha" in ctxs[0].params
+        if not hasattr(self, "_flag_steps"):
+            self._flag_steps = {}
+        key = (L, norm, len(ctxs))
+        if key not in self._flag_steps:
+            self._flag_steps[key] = make_dense_probe_step_flags(
+                self.icfg, L, flag_block=self.FLAG_BLOCK, norm=norm)
+        step = self._flag_steps[key]
+        data_p = self._fly_padded_dev(L)
+        segs = pack_segments_batch(seg_lists, tuple(self.icfg.scales))
+        eps2 = jnp.asarray([c.eps2 for c in ctxs], jnp.float32)
+        if norm:
+            cons = jnp.asarray([[c.params["alpha"], c.params["beta"],
+                                 c.params["_mu_q"], c.params["_sd_q"]]
+                                for c in ctxs], jnp.float32)
+        else:
+            cons = jnp.zeros((len(ctxs), 4), jnp.float32)
+        n_off, flags = step(data_p, segs, eps2, cons, jnp.int32(self.n))
+        return np.asarray(n_off), np.asarray(flags)
+
+    def _flags_to_intervals(self, flags_row: np.ndarray, m: int):
+        """Expand one query's flag bitmap into disjoint candidate intervals
+        (adjacent flagged blocks coalesce; right edges clip to the last valid
+        window start m-1)."""
+        F = self.FLAG_BLOCK
+        idx = np.flatnonzero(flags_row)
+        if idx.size == 0:
+            e = np.empty(0, np.int64)
+            return e, e
+        breaks = np.flatnonzero(np.diff(idx) > 1)
+        left = idx[np.concatenate(([0], breaks + 1))].astype(np.int64) * F
+        right = np.minimum(
+            (idx[np.concatenate((breaks, [idx.size - 1]))].astype(np.int64)
+             + 1) * F - 1, m - 1)
+        return left, right
 
     @staticmethod
     def _positions_to_intervals(offs: np.ndarray):

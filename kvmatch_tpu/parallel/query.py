@@ -474,6 +474,84 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
     return jax.jit(step, static_argnames=())
 
 
+def make_dense_probe_step_flags(icfg: IndexConfig, length: int,
+                                flag_block: int = 256, norm: bool = False,
+                                scales: Tuple[int, ...] | None = None):
+    """Flood-mode dense phase 1 emitting PER-BLOCK CANDIDATE FLAGS.
+
+    Same on-the-fly bucket probe as make_dense_probe_step_fly, but instead of
+    run-compressing the candidate mask (prefix scans + scattered writes into a
+    K-run buffer that a 21M-candidate flood overflows), each ``flag_block``-wide
+    position block reduces to one boolean: "does this block hold at least one
+    candidate?".  The output is a fixed-size (Q, n/flag_block) flag matrix
+    written with dense dynamic_update_slice stores — no scatter, no overflow,
+    one pass regardless of candidate density.
+
+    Flags over-cover candidates to flag_block granularity; the exact phase 2
+    rejects the interior positions (sound by construction), and its region
+    path gap-coalesces candidate intervals to region width anyway, so at flood
+    density the verified coverage is essentially unchanged.  The engine routes
+    only flood-predicted plans (or run-probe overflows) here; selective plans
+    keep the exact-edged run probe.
+
+    Args: (data_padded f32[n + fly_pad_for(...)], segs DenseSegments (leading
+    Q), eps2 f32[Q], cons f32[Q, 4], n_total i32) ->
+    (n_offsets i32[Q] exact candidate counts, flags bool[Q, NF]) where
+    NF = (probe blocks) * (block/flag_block) and flag j covers positions
+    [j*flag_block, (j+1)*flag_block).  The probe block is floor-aligned to a
+    flag_block multiple so the global flag grid stays aligned (flag_block
+    must be a power of two <= PROBE_BLOCK_MIN).
+    """
+    from ..ops.sliding import build_buckets
+
+    scales = scales or tuple(icfg.scales)
+    w_max = max(scales)
+    unit = icfg.unit
+    slack = np.float32(icfg.probe_guard)
+    F = int(flag_block)
+
+    def step(data_padded, segs: DenseSegments, eps2, cons, n_total):
+        Q = eps2.shape[0]
+        npad = data_padded.shape[0]
+        n_hi = npad - fly_pad_for(length, w_max)  # >= true n; bounds the loop
+        if F > PROBE_BLOCK_MIN or F & (F - 1):
+            raise ValueError(
+                f"flag_block must be a power of two <= {PROBE_BLOCK_MIN}, "
+                f"got {F}")
+        blk = min(probe_block_for(npad, Q), PROBE_BLOCK_MAX) // F * F
+        nf_blk = blk // F
+        nb = -(-max(n_hi, 1) // blk)
+        m = n_total - length + 1
+
+        def probe_one(bwin, sg, c):
+            if norm:
+                return _dense_probe_norm(bwin, sg, unit, icfg.d, blk, slack,
+                                         c[0], c[1], c[2], c[3], length)
+            return _dense_probe(bwin, sg, unit, icfg.d, blk, slack)
+
+        def body(b, carry):
+            n_off, flags = carry
+            p0 = b * blk
+            need = blk + length + w_max
+            piece = jax.lax.dynamic_slice(data_padded, (p0,), (need,))
+            bk = build_buckets(piece, scales, icfg.pos_of_d)
+            bwin = jnp.stack([bk[w][: blk + length] for w in scales])
+            eps_acc = jax.vmap(lambda sg, c: probe_one(bwin, sg, c))(segs, cons)
+            pos = p0 + jnp.arange(blk, dtype=jnp.int32)
+            mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
+            n_off = n_off + jnp.sum(mask.astype(jnp.int32), axis=1)
+            f = jnp.any(mask.reshape(Q, nf_blk, F), axis=2)
+            flags = jax.lax.dynamic_update_slice(flags, f, (0, b * nf_blk))
+            return n_off, flags
+
+        carry0 = (jnp.zeros(Q, jnp.int32),
+                  jnp.zeros((Q, nb * nf_blk), jnp.bool_))
+        n_off, flags = jax.lax.fori_loop(0, nb, body, carry0)
+        return n_off, flags
+
+    return jax.jit(step, static_argnames=())
+
+
 def make_dense_query_step_norm_batched(icfg: IndexConfig, length: int,
                                        top_k: int = 2048,
                                        scales: Tuple[int, ...] | None = None):

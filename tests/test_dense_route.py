@@ -137,3 +137,51 @@ def test_gap_probe_intervals_cover_exact(setup):
     # (c): consecutive coalesced intervals are separated by >= gap
     for (l0, r0), (l1b, _) in zip(ivg, ivg[1:]):
         assert l1b - r0 > 100
+
+def test_flags_probe_matches_run_probe(setup):
+    """The flag probe's bitmap must flag exactly the FLAG_BLOCK-blocks that
+    hold at least one gap=1 candidate, with exact candidate counts."""
+    from kvmatch_tpu.engine.base import _Ctx, QueryStats
+    data, idx = setup
+    eng = QueryEngine(data, index=idx, icfg=IndexConfig(),
+                      qcfg=QueryConfig(dense_probe_min_count=0))
+    q = data[2000:2512]
+    ctx = _Ctx(query=q, length=512, epsilon=10.0, eps2=100.0, params={},
+               stats=QueryStats())
+    segs = eng._plan(ctx)
+    n1, r1, l1_, rr1, _ = eng._device_dense_phase1([ctx], [segs], gap=1)
+    nf, flags = eng._device_dense_phase1_flags([ctx], [segs])
+    assert int(nf[0]) == int(n1[0]) > 0
+    k = int(r1[0])
+    F = eng.FLAG_BLOCK
+    expected = np.zeros(flags.shape[1], bool)
+    for l, r in zip(l1_[0][:k].tolist(), rr1[0][:k].tolist()):
+        expected[l // F: r // F + 1] = True
+    assert np.array_equal(flags[0], expected)
+    # interval expansion covers every candidate run and stays in range
+    m = N - 512 + 1
+    fl, fr = eng._flags_to_intervals(flags[0], m)
+    assert np.all(fr < m) and np.all(fl >= 0) and np.all(fl <= fr)
+    for l, r in zip(l1_[0][:k].tolist(), rr1[0][:k].tolist()):
+        assert np.any((fl <= l) & (r <= fr))
+
+
+def test_flags_fallback_exact_answers(setup, monkeypatch):
+    """With a 1-run buffer both gap stages overflow, so the engine must take
+    the flag probe and still return the exact answer set."""
+    from kvmatch_tpu.engine import base as eb
+    data, idx = setup
+    monkeypatch.setattr(eb.BaseEngine, "DENSE_PROBE_K", 1)
+    monkeypatch.setattr(eb.BaseEngine, "DENSE_PROBE_K_BUDGET", 1)
+    for cls, params, (off, L, eps) in [
+            (QueryEngine, {}, (2000, 512, 10.0)),
+            (NormQueryEngine, {"alpha": 1.3, "beta": 8.0}, (7000, 512, 4.0))]:
+        eh = cls(data, index=idx, icfg=IndexConfig(),
+                 qcfg=QueryConfig(dense_probe_min_count=None))
+        ed = cls(data, index=idx, icfg=IndexConfig(),
+                 qcfg=QueryConfig(dense_probe_min_count=0))
+        q = data[off:off + L]
+        rh = eh.query(q, eps, **params)
+        rd = ed.query(q, eps, **params)
+        assert set(rh.offsets.tolist()) == set(rd.offsets.tolist())
+        assert off in rd.offsets.tolist()
