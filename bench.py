@@ -245,6 +245,12 @@ def main() -> int:
             index8 = build_index_device(data8, icfg, stats=bst)
             northstar["device_build_mpts_per_s_1e8"] = round(
                 bst["mpts_per_second"], 1)
+            # stage split of the spill-mode build (device compute vs interval
+            # D2H vs host CSR install) — tells compile-cold runs from real walls
+            for k in ("build_seconds", "device_seconds", "d2h_seconds",
+                      "host_group_seconds"):
+                if k in bst:
+                    northstar[k] = round(float(bst[k]), 1)
             eng8 = NormQueryEngine(data8, index=index8, icfg=icfg, qcfg=qcfg)
             rng8 = np.random.default_rng(2)
             offs8 = rng8.integers(0, n8 - L, 8)
@@ -258,6 +264,10 @@ def main() -> int:
                 1 for o, r in zip(offs8, r8) if int(o) in r.offsets.tolist())
             northstar["cnsm_ed_1e8_cands_per_query"] = int(
                 np.mean([r.stats.n_candidates for r in r8]))
+            northstar["cnsm_ed_1e8_p1_ms"] = round(float(
+                np.mean([r.stats.t_phase1_ms for r in r8])), 1)
+            northstar["cnsm_ed_1e8_p2_ms"] = round(float(
+                np.mean([r.stats.t_phase2_ms for r in r8])), 1)
             # measured scalar-C twin at the SAME shape: one query (it is
             # minutes of single-thread time; the ratio is the point)
             twin8 = ScalarTwinNormEd(data8, index=index8, icfg=icfg,

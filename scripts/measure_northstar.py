@@ -48,7 +48,9 @@ bst = {}
 t0 = time.perf_counter()
 index8 = build_index_device(data8, icfg, stats=bst)
 log(section="device_build_1e8", sec=round(time.perf_counter() - t0, 1),
-    mpts_per_s=round(bst.get("mpts_per_second", 0.0), 1))
+    mpts_per_s=round(bst.get("mpts_per_second", 0.0), 1),
+    **{k: round(float(v), 2) for k, v in bst.items()
+       if k != "mpts_per_second"})
 
 # ---- 2. cNSM-ED n=1e8 flood: host route vs fly probe ---------------------
 L = 8192
