@@ -83,6 +83,9 @@ def main():
                     help="persist data+index here after the build")
     ap.add_argument("--resume-dir", default=None,
                     help="skip ingest+build; load data+index from this dir")
+    ap.add_argument("--max-device-wait", type=float, default=7200.0,
+                    help="seconds to wait for the TPU tunnel before aborting "
+                         "the query section (0 = build/save only)")
     args = ap.parse_args()
 
     from kvmatch_tpu.config import IndexConfig, QueryConfig
@@ -166,7 +169,10 @@ def main():
     # Warm the device link only now: ingest + build are pure host work, so a
     # temporarily unreachable TPU tunnel must delay the query section, not
     # kill the finished build (subprocess probes; in-process init is sticky).
-    if not wait_for_device():
+    if args.max_device_wait <= 0:
+        log(section="done", mode="build-only")
+        return
+    if not wait_for_device(args.max_device_wait):
         log(section="abort", reason="device unavailable past max wait")
         return
     import jax
