@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
+from functools import lru_cache as _functools_lru_cache
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -30,6 +31,18 @@ from ..plan import QuerySegment
 from ..utils import intervals as iv
 
 logger = logging.getLogger("kvmatch_tpu")
+
+
+@_functools_lru_cache(maxsize=None)
+def _run_slice_prog(k: int):
+    """Tiny jitted column slice used to bound the fly probe's run-buffer D2H
+    (one cached executable per power-of-two slice width)."""
+    import jax
+
+    def prog(run_l, run_r):
+        return run_l[:, :k], run_r[:, :k]
+
+    return jax.jit(prog)
 
 
 @dataclasses.dataclass
@@ -709,7 +722,20 @@ class BaseEngine:
             cons = jnp.zeros((len(ctxs), 4), jnp.float32)
         n_off, n_runs, run_l, run_r = step(data_p, segs, eps2, cons,
                                            jnp.int32(self.n), jnp.int32(gap))
-        return (np.asarray(n_off), np.asarray(n_runs), np.asarray(run_l),
+        # Pull only the live run prefix: the buffers are (Q, cand_k) with
+        # cand_k up to 2^25 — a full pull is GBs over the ~300 MB/s tunnel
+        # while selective plans fill a few thousand runs.  Runs are
+        # left-compacted per query, so a power-of-two column slice >= the
+        # batch max preserves every caller-visible prefix.
+        n_runs = np.asarray(n_runs)
+        # overflowing queries' buffers are never read (callers re-probe them),
+        # so only live prefixes of non-overflowing queries bound the slice
+        live = n_runs[n_runs <= cand_k]
+        kmax = int(live.max()) if live.size else 0
+        k_slice = min(cand_k, max(4096, 1 << max(kmax - 1, 0).bit_length()))
+        if k_slice < cand_k:
+            run_l, run_r = _run_slice_prog(k_slice)(run_l, run_r)
+        return (np.asarray(n_off), n_runs, np.asarray(run_l),
                 np.asarray(run_r), cand_k)
 
     def _dense_probe_retry(self, ctxs, seg_lists):

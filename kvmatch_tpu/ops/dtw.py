@@ -379,10 +379,10 @@ def _dtw_stage_multi_xla(data, qm, offs, qids, length: int, r: int):
 
 @functools.partial(jax.jit, static_argnames=("length", "r"))
 def _dtw_stage_multi_pallas(data, qm, offs, qids, length: int, r: int):
-    from .dtw_pallas import dtw_banded_pallas_multi
+    from .dtw_pallas import dtw_banded_pallas
     from .ed import _gather_windows
     x = _gather_windows(data, offs, length)
-    return dtw_banded_pallas_multi(x, qm[qids], r)
+    return dtw_banded_pallas(x, qm[qids], r)
 
 
 def dtw_stage_multi(data, qm, offs, qids, length: int, r: int):
@@ -449,11 +449,11 @@ def _dtw_stage_znorm_multi_xla(data, zq_m, offs, qids, length: int, r: int):
 
 @functools.partial(jax.jit, static_argnames=("length", "r"))
 def _dtw_stage_znorm_multi_pallas(data, zq_m, offs, qids, length: int, r: int):
-    from .dtw_pallas import dtw_banded_pallas_multi
+    from .dtw_pallas import dtw_banded_pallas
     from .ed import _gather_windows
     x = _gather_windows(data, offs, length)
     z, _, _ = _znorm_rows(x, length)
-    return dtw_banded_pallas_multi(z, zq_m[qids], r)
+    return dtw_banded_pallas(z, zq_m[qids], r)
 
 
 def dtw_stage_znorm_multi(data, zq_m, offs, qids, length: int, r: int):

@@ -159,22 +159,190 @@ def dtw_banded_pallas_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray,
     return out[:B, 0]
 
 
-_PALLAS_DTW_STATE = {"ok": None}
+def _diag_tile_rows_for(ae_len: int, qe_len: int, W_pad: int) -> int:
+    """Candidate rows per grid cell for the anti-diagonal kernel: the two
+    expanded inputs are ~2L wide each (double-buffered), carries/temps are
+    band-wide."""
+    budget = 12 * 1024 * 1024
+    per_row = 4 * (2 * (ae_len + qe_len) + 8 * W_pad)
+    bt = budget // max(per_row, 1)
+    bt = max(8, min(512, (bt // 8) * 8))
+    return bt
+
+
+def _dtw_diag_kernel(L: int, r: int, W_pad: int, PA: int, PQ: int):
+    """Anti-diagonal banded-DTW kernel body (closes over static shapes).
+
+    Iterates the band by anti-diagonals s = i + j with lanes pinned to the
+    band offset k = j - i + r:
+
+        D_s[k] = d_s[k] + min(D_{s-1}[k-1], D_{s-1}[k+1], D_{s-2}[k])
+
+    — no within-step dependency, so the two log-shift prefix scans of the
+    row kernel (14 rolls/row) collapse to two single-lane rolls per step.
+    2L-1 steps x ~12 vector ops vs L rows x ~50: fewer total ops AND ~4x
+    fewer rolls (the expensive op).  d_s[k] needs a[(s+r-k)/2], q[(s-r+k)/2]
+    for the in-parity lanes; with the repeat-interleaved inputs
+    ae[t] = a[t//2] (REVERSED, left-padded PA) and qe[t] = q[t//2]
+    (left-padded PQ) both become contiguous lane slices whose block bases
+    stay 128-aligned (Mosaic's dynamic-slice constraint), exactly like the
+    row kernel's aligned-block trick.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = 2 * r + 1
+    S = 2 * L - 1                      # anti-diagonal count
+    C = 2 * L - 1 - r                  # aer base offset at s=0 (unpadded)
+
+    def kernel(ae_ref, qe_ref, out_ref, d1_ref, d2_ref):
+        BT = ae_ref.shape[0]
+        kvec = jax.lax.broadcasted_iota(jnp.int32, (BT, W_pad), 1)
+        lane_ok = kvec < W
+        d1_ref[:] = jnp.full((BT, W_pad), BIG, jnp.float32)
+        d2_ref[:] = jnp.full((BT, W_pad), BIG, jnp.float32)
+        nblk = -(-S // _ROW_BLK)
+
+        def blk_body(blk, _):
+            s0 = blk * _ROW_BLK
+            # aer block segment covers offsets (PA + C - s) for s in
+            # [s0, s0+127]: start = PA + C - 127 - s0 (128-aligned by PA).
+            a0 = pl.multiple_of(PA + C - (_ROW_BLK - 1) - s0, _ROW_BLK)
+            aseg = ae_ref[:, pl.ds(a0, W_pad + _ROW_BLK)]
+            # qe block segment covers offsets (PQ + s - r): start aligned.
+            q0 = pl.multiple_of(PQ + s0 - r, _ROW_BLK)
+            qseg = qe_ref[:, pl.ds(q0, W_pad + _ROW_BLK)]
+
+            for t in range(_ROW_BLK):
+                s = blk * _ROW_BLK + t
+
+                @pl.when(s < S)
+                def _():
+                    A = jax.lax.slice_in_dim(
+                        aseg, _ROW_BLK - 1 - t, _ROW_BLK - 1 - t + W_pad,
+                        axis=1)
+                    Qv = jax.lax.slice_in_dim(qseg, t, t + W_pad, axis=1)
+                    # active cell: in band, i,j in range, parity match
+                    srk = s + r - kvec           # = 2i on active lanes
+                    srk2 = s - r + kvec          # = 2j on active lanes
+                    valid = (lane_ok & ((srk & 1) == 0)
+                             & (srk >= 0) & (srk < 2 * L)
+                             & (srk2 >= 0) & (srk2 < 2 * L))
+                    d = (A - Qv) ** 2
+
+                    D1 = d1_ref[:]
+                    up = pltpu.roll(D1, 1, 1)            # lane k <- D1[k-1]
+                    up = jnp.where(kvec == 0, BIG, up)
+                    dn = pltpu.roll(D1, W_pad - 1, 1)    # lane k <- D1[k+1]
+                    dn = jnp.where(kvec >= W - 1, BIG, dn)
+                    M = jnp.minimum(jnp.minimum(up, dn), d2_ref[:])
+                    if True:  # s == 0 boot: only (0,0) at k=r starts at 0
+                        M = jnp.where(s == 0,
+                                      jnp.where(kvec == r, 0.0, BIG), M)
+                    D = jnp.where(valid, d + jnp.minimum(M, BIG), BIG)
+                    d2_ref[:] = D1
+                    d1_ref[:] = D
+            return 0
+
+        jax.lax.fori_loop(0, nblk, blk_body, 0)
+        out_ref[:] = jnp.broadcast_to(d1_ref[:, r][:, None], out_ref.shape)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+def dtw_banded_pallas_diag_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray,
+                                 r: int, interpret: bool = False
+                                 ) -> jnp.ndarray:
+    """Anti-diagonal banded DTW, per-row query: a_batch (B, L) vs (B, L).
+
+    Same distances as dtw_banded_pallas_multi / ops/dtw.dtw_banded_batch_multi
+    up to f32 summation order (absorbed by the engines' guard bands); ~2x
+    higher throughput by replacing the per-row prefix scans with the
+    scan-free anti-diagonal recurrence."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L = a_batch.shape
+    r = min(r, L - 1)
+    W = 2 * r + 1
+    W_pad = _round_up(W, 128)
+    C = 2 * L - 1 - r
+
+    # ae = reversed repeat-interleave of a; qe = repeat-interleave of q.
+    # Active lanes read u = 2L-1-2i (odd), so ae[u] = a[L-1-u//2] = a[i].
+    ae = jnp.repeat(a_batch[:, ::-1], 2, axis=1)         # ae[u] = a[L-1-u//2]
+    qe = jnp.repeat(q_batch, 2, axis=1)                  # qe[t] = q[t//2]
+    # Left pads making every 128-step block's slice base 128-aligned and all
+    # segment starts non-negative: the LAST (possibly partial) block's aligned
+    # start PA + C - 127 - 128*(nblk-1) is the binding constraint.
+    S = 2 * L - 1
+    nblk = -(-S // _ROW_BLK)
+    PA0 = max(_ROW_BLK * nblk - 2 * L + r, 0)
+    PA = PA0 + ((-(PA0 + C - (_ROW_BLK - 1))) % _ROW_BLK)
+    PQ = r  # (PQ - r) % 128 == 0 and covers the s < r negative bases
+    # widest reads: aer blk=0 start PA+C-127, width W_pad+128; qe last block
+    ae_len = _round_up(PA + 2 * L + W_pad + _ROW_BLK, 128)
+    qe_len = _round_up(PQ + nblk * _ROW_BLK - r + W_pad + _ROW_BLK, 128)
+    ae = jnp.pad(ae, ((0, 0), (PA, ae_len - PA - 2 * L)))
+    qe = jnp.pad(qe, ((0, 0), (PQ, qe_len - PQ - 2 * L)))
+
+    BT = _diag_tile_rows_for(ae_len, qe_len, W_pad)
+    B_pad = _round_up(B, BT)
+    if B_pad != B:
+        ae = jnp.pad(ae, ((0, B_pad - B), (0, 0)))
+        qe = jnp.pad(qe, ((0, B_pad - B), (0, 0)))
+
+    kernel = _dtw_diag_kernel(L, r, W_pad, PA, PQ)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B_pad // BT,),
+        in_specs=[
+            pl.BlockSpec((BT, ae_len), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, qe_len), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BT, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BT, W_pad), jnp.float32),
+                        pltpu.VMEM((BT, W_pad), jnp.float32)],
+        interpret=interpret,
+    )(ae, qe)
+    return out[:B, 0]
+
+
+_PALLAS_DTW_STATE = {"ok": None, "variant": None}
 
 
 def pallas_dtw_available() -> bool:
-    """One cached probe compile: can the attached backend lower the kernel?
-    (The axon tunnel rejects some Mosaic programs with HTTP 500; CPU has no
-    Mosaic at all — engines fall back to the XLA scan formulation.)"""
+    """One cached probe compile per variant: can the attached backend lower
+    the kernels?  (The axon tunnel rejects some Mosaic programs with HTTP
+    500; CPU has no Mosaic at all — engines fall back to the XLA scan
+    formulation.)  Prefers the anti-diagonal kernel (scan-free, ~2x the row
+    kernel's throughput), falls back to the row kernel."""
     if _PALLAS_DTW_STATE["ok"] is None:
-        try:
-            if jax.default_backend() != "tpu":
-                _PALLAS_DTW_STATE["ok"] = False
-            else:
-                a = jnp.zeros((8, 128), jnp.float32)
-                q = jnp.zeros((8, 128), jnp.float32)
-                jax.block_until_ready(dtw_banded_pallas_multi(a, q, 4))
-                _PALLAS_DTW_STATE["ok"] = True
-        except Exception:  # noqa: BLE001 — any lowering failure disables it
-            _PALLAS_DTW_STATE["ok"] = False
+        _PALLAS_DTW_STATE["ok"] = False
+        if jax.default_backend() == "tpu":
+            a = jnp.zeros((8, 128), jnp.float32)
+            q = jnp.zeros((8, 128), jnp.float32)
+            for variant, fn in (("diag", dtw_banded_pallas_diag_multi),
+                                ("rows", dtw_banded_pallas_multi)):
+                try:
+                    jax.block_until_ready(fn(a, q, 4))
+                    _PALLAS_DTW_STATE.update(ok=True, variant=variant)
+                    break
+                except Exception:  # noqa: BLE001 — lowering failure: next
+                    continue
     return _PALLAS_DTW_STATE["ok"]
+
+
+def dtw_banded_pallas(a_batch: jnp.ndarray, q_batch: jnp.ndarray, r: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Best available Pallas banded-DTW variant (probe-selected)."""
+    if _PALLAS_DTW_STATE.get("variant") == "rows":
+        return dtw_banded_pallas_multi(a_batch, q_batch, r,
+                                       interpret=interpret)
+    return dtw_banded_pallas_diag_multi(a_batch, q_batch, r,
+                                        interpret=interpret)

@@ -106,10 +106,10 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     offs_d = jnp.asarray(rng.integers(0, n - L - reps, Bd), jnp.int32)
     use_pallas = _use_pallas_dtw()
     if use_pallas:
-        from ..ops.dtw_pallas import dtw_banded_pallas_multi
+        from ..ops.dtw_pallas import _PALLAS_DTW_STATE, dtw_banded_pallas
 
         def dp_engine(w):
-            return dtw_banded_pallas_multi(w, jnp.broadcast_to(q, w.shape), rho)
+            return dtw_banded_pallas(w, jnp.broadcast_to(q, w.shape), rho)
     else:
         def dp_engine(w):
             return dtw_banded_batch(w, q, rho)
@@ -132,9 +132,18 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
 
     _dtw_fields(dp_engine, "banded_dtw")
     out["banded_dtw_shape"] = f"B={Bd} L={L} rho={rho}"
-    out["banded_dtw_kernel"] = "pallas" if use_pallas else "xla"
+    out["banded_dtw_kernel"] = ("pallas-" + _PALLAS_DTW_STATE["variant"]
+                                if use_pallas else "xla")
     if use_pallas:
         _dtw_fields(lambda w: dtw_banded_batch(w, q, rho), "banded_dtw_xla")
+        # the non-selected pallas variant, for the kernel-choice audit trail
+        if _PALLAS_DTW_STATE["variant"] == "diag":
+            from ..ops.dtw_pallas import dtw_banded_pallas_multi
+            try:
+                _dtw_fields(lambda w: dtw_banded_pallas_multi(
+                    w, jnp.broadcast_to(q, w.shape), rho), "banded_dtw_rows")
+            except Exception:  # noqa: BLE001
+                pass
 
     # --- double-single DTW confirm (the near-threshold device stage) ----------
     from ..ops.dtw import dtw_stage_ds_multi

@@ -66,6 +66,47 @@ def test_pallas_dtw_matches_f64():
         np.testing.assert_allclose(got[b], ref, rtol=3e-4, atol=1e-2)
 
 
+def test_pallas_dtw_diag_matches_f64():
+    """Anti-diagonal kernel vs the exact f64 DP over random + adversarial
+    batches, including the band edges (r=0 diagonal-only, r >= L full DP)."""
+    from kvmatch_tpu.ops.dtw import _dtw_banded_batch_f64_np
+    from kvmatch_tpu.ops.dtw_pallas import dtw_banded_pallas_diag_multi
+
+    rng = np.random.default_rng(5)
+    for B, L, r in [(16, 256, 13), (5, 100, 7), (4, 128, 0), (3, 64, 200),
+                    (8, 300, 29)]:
+        a = rng.normal(size=(B, L)).astype(np.float32)
+        a[0] += 100.0
+        if B > 2:
+            a[1] = a[2] + 1e-3
+        q = rng.normal(size=(B, L)).astype(np.float32)
+        q[0] += 100.0
+        got = np.asarray(dtw_banded_pallas_diag_multi(
+            jnp.asarray(a), jnp.asarray(q), r, interpret=INTERPRET))
+        for b in range(B):
+            ref = _dtw_banded_batch_f64_np(a[b:b + 1].astype(np.float64),
+                                           q[b].astype(np.float64),
+                                           min(r, L - 1))[0]
+            np.testing.assert_allclose(got[b], ref, rtol=3e-4, atol=1e-2,
+                                       err_msg=f"B={B} L={L} r={r} row={b}")
+
+
+def test_pallas_dtw_diag_matches_row_kernel():
+    """Both Pallas formulations compute the same distances (f32 tolerance)."""
+    from kvmatch_tpu.ops.dtw_pallas import (dtw_banded_pallas_diag_multi,
+                                            dtw_banded_pallas_multi)
+
+    rng = np.random.default_rng(6)
+    B, L, r = 12, 384, 21
+    a = rng.normal(size=(B, L)).astype(np.float32)
+    q = rng.normal(size=(B, L)).astype(np.float32)
+    d = np.asarray(dtw_banded_pallas_diag_multi(
+        jnp.asarray(a), jnp.asarray(q), r, interpret=INTERPRET))
+    w = np.asarray(dtw_banded_pallas_multi(
+        jnp.asarray(a), jnp.asarray(q), r, interpret=INTERPRET))
+    np.testing.assert_allclose(d, w, rtol=3e-4, atol=1e-3)
+
+
 def test_pallas_dtw_odd_shapes():
     """Non-128-multiple L and B exercise the padding paths."""
     from kvmatch_tpu.ops.dtw import _dtw_banded_batch_f64_np
