@@ -124,6 +124,16 @@ class QueryConfig:
     # Phase-2 device batching: candidate windows are verified in padded batches of
     # this many rows (TPU tiling; multiple of 8 for f32 sublanes).
     verify_batch: int = 1024
+    # Host fast path for TINY phase-2 loads (ED engines): when the whole
+    # candidate set touches at most this many points (sum of candidates x L),
+    # verification runs directly as the exact float64 host kernel — no device
+    # launch at all.  Break-even basis: the measured fixed dispatch floor
+    # (phase2_cost_intercept, ~30-45 ms behind the dev tunnel, ~1-5 ms
+    # direct-attached) vs the host's ~2 GB/s f64 streaming scan — 2e6 points
+    # = 16 MB ~= 8 ms of host work.  The reference demo query (147 candidates
+    # x L=8192 = 1.2M points, README.md:72-77) routes host under the default.
+    # Set to 0 to force every verify onto the device.
+    host_verify_max_points: int = 2_000_000
     # Guard band for exact host re-verification of device f32 distances: offsets with
     # |d^2 - eps^2| <= guard * eps^2 (relative) are re-checked in float64 on host, which
     # makes the final answer set exact while keeping the heavy compute on TPU.

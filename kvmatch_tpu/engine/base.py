@@ -60,6 +60,9 @@ class QueryStats:
     n_segments_used: int = 0
     n_device_checked: int = 0
     n_host_rechecked: int = 0
+    # Candidates verified ENTIRELY on host (exact f64, no device launch) by the
+    # tiny-load fast path (QueryConfig.host_verify_max_points).
+    n_host_checked: int = 0
     early_terminated: bool = False
 
 
@@ -426,6 +429,18 @@ class BaseEngine:
             qids.append(np.full(s.size, qi, np.int32))
         return (np.concatenate(starts), np.concatenate(vfrom),
                 np.concatenate(vto), np.concatenate(qids), M)
+
+    def _host_verify_ok(self, cand_ivs, L: int) -> bool:
+        """True when the batch's whole phase-2 load is small enough that the
+        exact f64 host kernel undercuts even ONE device launch (the fixed
+        dispatch floor) — see QueryConfig.host_verify_max_points.  Sound in
+        both directions: the host kernel IS the exact confirmation step the
+        device route ends with anyway."""
+        cap = self.qcfg.host_verify_max_points
+        if cap <= 0:
+            return False
+        total = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
+        return total * L <= cap
 
     def _verify_intervals(self, left: np.ndarray, right: np.ndarray, ctx: _Ctx
                           ) -> Tuple[np.ndarray, np.ndarray]:

@@ -429,6 +429,16 @@ class NormQueryEngine(BaseEngine):
             return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp
         L = ctxs[0].length
+        if self._host_verify_ok(cand_ivs, L):
+            # Tiny load: constraint + PAA-z prefilters (prefix sums only),
+            # then the exact f64 host kernel — no device launch at all.
+            out = []
+            for (l, r), c in zip(cand_ivs, ctxs):
+                offs = iv.expand_offsets({"left": l, "right": r})
+                c.stats.n_host_checked = int(offs.size)
+                out.append(self._confirm_znorm_exact(self._paa_z_prefilter(
+                    self._constraint_prefilter(offs, c), c, c.eps2), c))
+            return out
         for (l, r), ctx in zip(cand_ivs, ctxs):
             ctx.stats.n_device_checked = int(np.sum(r - l + 1)) if l.size else 0
         qhats = np.stack([(c.query - c.params["_mu_q"]) / c.params["_sd_q"]

@@ -192,6 +192,17 @@ class QueryEngine(BaseEngine):
             return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp
         L = ctxs[0].length
+        if self._host_verify_ok(cand_ivs, L):
+            # Tiny load: exact f64 host kernel beats the device launch floor
+            # (see QueryConfig.host_verify_max_points).  PAA prefilter first —
+            # it needs only prefix sums, no window gather.
+            out = []
+            for (l, r), c in zip(cand_ivs, ctxs):
+                offs = iv.expand_offsets({"left": l, "right": r})
+                c.stats.n_host_checked = int(offs.size)
+                out.append(self._confirm_ed(
+                    self._paa_prefilter(offs, c, c.eps2), c))
+            return out
         threshs = np.array([c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
                             for c in ctxs])
         for (l, r), ctx in zip(cand_ivs, ctxs):

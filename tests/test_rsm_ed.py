@@ -105,3 +105,42 @@ def test_tpu_tuned_config_same_answers():
         r2 = e2.query_at(off, L, eps)
         assert set(r1.offsets.tolist()) == set(r2.offsets.tolist())
         assert off in r2.offsets.tolist()
+
+
+def test_host_verify_route_matches_device_route():
+    """Tiny phase-2 loads route to the exact f64 host kernel (no device
+    launch); the answer set must equal the device route's bit-for-bit, and the
+    route flag must show in the stats."""
+    import numpy as np
+    from kvmatch_tpu.config import IndexConfig, QueryConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.engine.rsm_ed import QueryEngine
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    data = generate_series(60_000, seed=11)
+    icfg = IndexConfig()
+    index = build_index_numpy(data, icfg)
+    host = QueryEngine(data, index=index, icfg=icfg,
+                       qcfg=QueryConfig(host_verify_max_points=1 << 62))
+    dev = QueryEngine(data, index=index, icfg=icfg,
+                      qcfg=QueryConfig(host_verify_max_points=0))
+    for off, L, eps in [(4000, 512, 6.0), (30000, 1024, 10.0)]:
+        rh = host.query_at(off, L, eps)
+        rd = dev.query_at(off, L, eps)
+        assert rh.stats.n_host_checked > 0
+        assert rd.stats.n_host_checked == 0
+        assert rh.offsets.tolist() == rd.offsets.tolist()
+        assert np.allclose(rh.distances, rd.distances)
+        assert off in rh.offsets.tolist()
+
+    nhost = NormQueryEngine(data, index=index, icfg=icfg,
+                            qcfg=QueryConfig(host_verify_max_points=1 << 62))
+    ndev = NormQueryEngine(data, index=index, icfg=icfg,
+                           qcfg=QueryConfig(host_verify_max_points=0))
+    q = data[7000:7000 + 512]
+    rh = nhost.query(q, 3.0, alpha=1.3, beta=10.0)
+    rd = ndev.query(q, 3.0, alpha=1.3, beta=10.0)
+    assert rh.stats.n_host_checked > 0 and rd.stats.n_host_checked == 0
+    assert rh.offsets.tolist() == rd.offsets.tolist()
+    assert np.allclose(rh.distances, rd.distances)
