@@ -129,15 +129,26 @@ def _shift_tables(query: jnp.ndarray, length: int, K: int):
     return w, qsh
 
 
+def _win_mask(rem: jnp.ndarray, K: int, length: int) -> jnp.ndarray:
+    """(B, K) window mask computed ON THE FLY from the per-row remainder —
+    exactly the rows ``w[rem]`` of _shift_tables' mask table (values are the
+    same exact 1.0/0.0, so results stay bit-identical), but as a pair of iota
+    compares the VPU produces in registers instead of a (B, K) f32 HBM gather
+    — ~1/3 of the table path's gather traffic removed."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (rem.shape[0], K), 1)
+    r = rem[:, None]
+    return ((k >= r) & (k < r + length)).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("length",))
 def ed_distances(data: jnp.ndarray, query: jnp.ndarray, offsets: jnp.ndarray,
                  length: int) -> jnp.ndarray:
     """Raw squared Euclidean distances for a batch of candidate offsets."""
     if _tiled_ok(data):
         flat, rem, K = _tile_rows(data, offsets, length)
-        w, qsh = _shift_tables(query, length, K)
+        _, qsh = _shift_tables(query, length, K)
         diff = flat - qsh[rem]
-        return jnp.sum(w[rem] * diff * diff, axis=1)
+        return jnp.sum(_win_mask(rem, K, length) * diff * diff, axis=1)
     x = _gather_windows(data, offsets, length)
     diff = x - query[None, :]
     return jnp.sum(diff * diff, axis=1)
@@ -151,11 +162,11 @@ def ed_distances_multi(data: jnp.ndarray, queries: jnp.ndarray,
     one launch serves a whole query batch (queries: (Q, L), qids: (B,))."""
     if _tiled_ok(data):
         flat, rem, K = _tile_rows(data, offsets, length)
-        w, qsh = _shift_tables(queries, length, K)
+        _, qsh = _shift_tables(queries, length, K)
         C = GATHER_TILE
         qrow = qsh.reshape(-1, K)[qids * C + rem]
         diff = flat - qrow
-        return jnp.sum(w[rem] * diff * diff, axis=1)
+        return jnp.sum(_win_mask(rem, K, length) * diff * diff, axis=1)
     x = _gather_windows(data, offsets, length)
     diff = x - queries[qids]
     return jnp.sum(diff * diff, axis=1)
@@ -184,9 +195,9 @@ def znorm_ed_distances_multi(data: jnp.ndarray, queries_hat: jnp.ndarray,
     (d2, mean, std) like znorm_ed_distances."""
     if _tiled_ok(data):
         flat, rem, K = _tile_rows(data, offsets, length)
-        w, qsh = _shift_tables(queries_hat, length, K)
+        _, qsh = _shift_tables(queries_hat, length, K)
         qrow = qsh.reshape(-1, K)[qids * GATHER_TILE + rem]
-        return _znorm_from_rows(flat, w[rem], qrow, length)
+        return _znorm_from_rows(flat, _win_mask(rem, K, length), qrow, length)
     x = _gather_windows(data, offsets, length)
     inv_l = np.float32(1.0 / length)
     mean = jnp.sum(x, axis=1) * inv_l
@@ -210,8 +221,9 @@ def znorm_ed_distances(data: jnp.ndarray, query_hat: jnp.ndarray,
     """
     if _tiled_ok(data):
         flat, rem, K = _tile_rows(data, offsets, length)
-        w, qsh = _shift_tables(query_hat, length, K)
-        return _znorm_from_rows(flat, w[rem], qsh[rem], length)
+        _, qsh = _shift_tables(query_hat, length, K)
+        return _znorm_from_rows(flat, _win_mask(rem, K, length), qsh[rem],
+                                length)
     x = _gather_windows(data, offsets, length)
     inv_l = np.float32(1.0 / length)
     mean = jnp.sum(x, axis=1) * inv_l

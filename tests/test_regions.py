@@ -77,3 +77,57 @@ def test_region_znorm_matches_direct(problem):
             assert abs(sd[b, j] - s_h) < 1e-2
             assert abs(d2[b, j] - exact) <= 0.05 * (exact + 1.0), \
                 (off, d2[b, j], exact)
+
+
+def test_gather_table_kernels_match_f64():
+    """The tiled table-gather ED kernels (incl. the on-the-fly window mask)
+    vs float64 direct computation, on a GATHER_TILE-padded series so the
+    table path is the one exercised (conftest flips GATHER_TILED_ON_CPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kvmatch_tpu.ops.ed import (ed_distances, ed_distances_multi,
+                                    znorm_ed_distances,
+                                    znorm_ed_distances_multi, _tiled_ok,
+                                    pad_to_tiles)
+
+    rng = np.random.default_rng(17)
+    n, L, B, Q = 8192, 300, 64, 3
+    data = rng.normal(size=n)
+    d32 = pad_to_tiles(jnp.asarray(data, jnp.float32))
+    assert _tiled_ok(d32)
+    offs = rng.integers(0, n - L, B).astype(np.int32)
+    queries = rng.normal(size=(Q, L))
+    qids = rng.integers(0, Q, B).astype(np.int32)
+
+    wins = data[offs[:, None] + np.arange(L)[None, :]]
+
+    # single-query raw ED
+    d2 = np.asarray(ed_distances(d32, jnp.asarray(queries[0], jnp.float32),
+                                 jnp.asarray(offs), L))
+    ref = np.sum((wins - queries[0][None, :]) ** 2, axis=1)
+    np.testing.assert_allclose(d2, ref, rtol=2e-4, atol=1e-3)
+
+    # multi-query raw ED
+    d2m = np.asarray(ed_distances_multi(
+        d32, jnp.asarray(queries, jnp.float32), jnp.asarray(offs),
+        jnp.asarray(qids), L))
+    refm = np.sum((wins - queries[qids]) ** 2, axis=1)
+    np.testing.assert_allclose(d2m, refm, rtol=2e-4, atol=1e-3)
+
+    # z-normalized (single + multi)
+    qhat = (queries - queries.mean(axis=1, keepdims=True)) \
+        / queries.std(axis=1, keepdims=True)
+    mu = wins.mean(axis=1)
+    sd = wins.std(axis=1)
+    zt = (wins - mu[:, None]) / sd[:, None]
+    dz, m1, s1 = znorm_ed_distances(d32, jnp.asarray(qhat[0], jnp.float32),
+                                    jnp.asarray(offs), L)
+    refz = np.sum((zt - qhat[0][None, :]) ** 2, axis=1)
+    np.testing.assert_allclose(np.asarray(dz), refz, rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(m1), mu, rtol=1e-4, atol=1e-4)
+    dzm, m2, s2 = znorm_ed_distances_multi(
+        d32, jnp.asarray(qhat, jnp.float32), jnp.asarray(offs),
+        jnp.asarray(qids), L)
+    refzm = np.sum((zt - qhat[qids]) ** 2, axis=1)
+    np.testing.assert_allclose(np.asarray(dzm), refzm, rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(s2), sd, rtol=1e-3, atol=1e-4)
