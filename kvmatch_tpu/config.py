@@ -134,6 +134,13 @@ class QueryConfig:
     # x L=8192 = 1.2M points, README.md:72-77) routes host under the default.
     # Set to 0 to force every verify onto the device.
     host_verify_max_points: int = 2_000_000
+    # Skip the LB-cascade launch (DTW engines) when the candidate set is at
+    # most this many offsets: at ~76k DP-candidates/s a 2048-candidate banded
+    # DP costs ~27 ms — less than the extra launch (fixed dispatch floor) plus
+    # the cascade's 3x gather traffic it would take to prune them first.  The
+    # cascade is purely a prefilter (DtwUtils.java:149-257), so skipping it
+    # never changes the answer set.  Set to 0 to always run the cascade.
+    dtw_skip_lb_max: int = 2048
     # Guard band for exact host re-verification of device f32 distances: offsets with
     # |d^2 - eps^2| <= guard * eps^2 (relative) are re-checked in float64 on host, which
     # makes the final answer set exact while keeping the heavy compute on TPU.

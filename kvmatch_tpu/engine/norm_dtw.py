@@ -82,19 +82,26 @@ class NormQueryEngineDtw(NormQueryEngine):
                             for c in ctxs])
 
         from ..ops.dtw import dtw_stage_znorm_multi, lb_stage_znorm_multi
-        cons = jnp.asarray(np.stack(
-            [[c.params["alpha"], c.params["beta"], c.params["_mu_q"],
-              c.params["_sd_q"],
-              1e-3 * (1.0 + abs(c.params["_mu_q"]) + c.params["_sd_q"])]
-             for c in ctxs]), jnp.float32)
-        env_lo, env_hi = self.data_envelope_dev(rho)
-        lb = vf.run_bucketed(
-            lambda o, q: lb_stage_znorm_multi(data_dev, env_lo, env_hi, zq_m,
-                                              lo_m, hi_m, cons, o, q, L),
-            total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch,
-            width=L)
-        surv = lb <= threshs[qids]
-        s_off, s_qid = offsets[surv], qids[surv]
+        if total <= self.qcfg.dtw_skip_lb_max:
+            # Tiny set: the z-DP on everything is cheaper than the LB launch
+            # that would prune it (QueryConfig.dtw_skip_lb_max; the alpha/beta
+            # constraints were already applied by _constraint_prefilter above).
+            s_off, s_qid = offsets, qids
+        else:
+            cons = jnp.asarray(np.stack(
+                [[c.params["alpha"], c.params["beta"], c.params["_mu_q"],
+                  c.params["_sd_q"],
+                  1e-3 * (1.0 + abs(c.params["_mu_q"]) + c.params["_sd_q"])]
+                 for c in ctxs]), jnp.float32)
+            env_lo, env_hi = self.data_envelope_dev(rho)
+            lb = vf.run_bucketed(
+                lambda o, q: lb_stage_znorm_multi(data_dev, env_lo, env_hi,
+                                                  zq_m, lo_m, hi_m, cons, o,
+                                                  q, L),
+                total, offsets.astype(np.int32), qids,
+                lo=self.qcfg.verify_batch, width=L)
+            surv = lb <= threshs[qids]
+            s_off, s_qid = offsets[surv], qids[surv]
         per_q = [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
         for c, cnt in zip(ctxs, counts):
             c.stats.n_device_checked = cnt

@@ -79,14 +79,19 @@ class QueryEngineDtw(QueryEngine):
                             for c in ctxs])
 
         from ..ops.dtw import dtw_stage_multi, lb_stage_multi
-        env_lo, env_hi = self.data_envelope_dev(rho)
-        lb = vf.run_bucketed(
-            lambda o, q: lb_stage_multi(data_dev, env_lo, env_hi, qm, lo_m,
-                                        hi_m, o, q, L),
-            total, offsets.astype(np.int32), qids, lo=self.qcfg.verify_batch,
-            width=L)
-        surv = lb <= threshs[qids]
-        s_off, s_qid = offsets[surv], qids[surv]
+        if total <= self.qcfg.dtw_skip_lb_max:
+            # Tiny set: the DP on everything is cheaper than the LB launch
+            # that would prune it (QueryConfig.dtw_skip_lb_max).
+            s_off, s_qid = offsets, qids
+        else:
+            env_lo, env_hi = self.data_envelope_dev(rho)
+            lb = vf.run_bucketed(
+                lambda o, q: lb_stage_multi(data_dev, env_lo, env_hi, qm, lo_m,
+                                            hi_m, o, q, L),
+                total, offsets.astype(np.int32), qids,
+                lo=self.qcfg.verify_batch, width=L)
+            surv = lb <= threshs[qids]
+            s_off, s_qid = offsets[surv], qids[surv]
         per_q = [(np.empty(0, np.int64), np.empty(0)) for _ in ctxs]
         for c, cnt in zip(ctxs, counts):
             c.stats.n_device_checked = cnt

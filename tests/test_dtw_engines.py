@@ -62,3 +62,32 @@ def test_rsm_dtw_rho_zero_equals_ed(setup):
     r1 = dtw.query_at(2500, 200, 5.0, rho=0)
     r2 = ed.query_at(2500, 200, 5.0)
     assert set(r1.offsets.tolist()) == set(r2.offsets.tolist())
+
+
+def test_skip_lb_route_matches_cascade_route():
+    """dtw_skip_lb_max routes tiny candidate sets straight to the banded DP;
+    answers must equal the LB-cascade route's exactly (the cascade is only a
+    prefilter)."""
+    import numpy as np
+    from kvmatch_tpu.config import IndexConfig, QueryConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+    from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    data = generate_series(50_000, seed=13)
+    icfg = IndexConfig()
+    index = build_index_numpy(data, icfg)
+    for cls, kw in [(QueryEngineDtw, {}),
+                    (NormQueryEngineDtw, {"alpha": 1.4, "beta": 8.0})]:
+        skip = cls(data, index=index, icfg=icfg,
+                   qcfg=QueryConfig(dtw_skip_lb_max=1 << 30))
+        casc = cls(data, index=index, icfg=icfg,
+                   qcfg=QueryConfig(dtw_skip_lb_max=0))
+        for off, L, eps in [(4000, 512, 5.0), (30000, 256, 4.0)]:
+            q = data[off:off + L]
+            rs = skip.query(q, eps, rho=int(0.05 * L), **kw)
+            rc = casc.query(q, eps, rho=int(0.05 * L), **kw)
+            assert rs.offsets.tolist() == rc.offsets.tolist()
+            assert np.allclose(rs.distances, rc.distances)
+            assert off in rs.offsets.tolist()
