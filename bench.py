@@ -12,6 +12,7 @@ Run: python bench.py [--n N] [--quick]
 """
 
 import argparse
+import dataclasses
 import json
 import statistics
 import sys
@@ -251,15 +252,37 @@ def main() -> int:
                       "host_group_seconds"):
                 if k in bst:
                     northstar[k] = round(float(bst[k]), 1)
-            eng8 = NormQueryEngine(data8, index=index8, icfg=icfg, qcfg=qcfg)
             rng8 = np.random.default_rng(2)
             offs8 = rng8.integers(0, n8 - L, 8)
             q8 = np.stack([data8[o:o + L] for o in offs8])
-            eng8.query_batch(q8[:2], 4.0, alpha=1.2, beta=5.0)  # warm/compile
-            t0 = time.perf_counter()
-            r8 = eng8.query_batch(q8, 4.0, alpha=1.2, beta=5.0)
-            northstar["cnsm_ed_1e8_qps"] = round(
-                8 / (time.perf_counter() - t0), 2)
+            # Measure BOTH phase-1 routes at the flood shape: host interval
+            # algebra (C kernels) and the device fly probe (run-compressed,
+            # gap-coalescing, flag fallback) — headline is the best of the two.
+            eng8 = NormQueryEngine(data8, index=index8, icfg=icfg, qcfg=qcfg)
+            routes = [("host", eng8)]
+            try:
+                qcfg_fly = dataclasses.replace(
+                    qcfg, dense_probe_min_count=2_000_000)
+                routes.append(("fly", NormQueryEngine(
+                    data8, index=index8, icfg=icfg, qcfg=qcfg_fly,
+                    device_data=eng8.data_dev)))
+            except Exception:
+                pass
+            best_qps, r8 = 0.0, None
+            for tag, eng in routes:
+                try:
+                    eng.query_batch(q8[:2], 4.0, alpha=1.2, beta=5.0)  # warm
+                    t0 = time.perf_counter()
+                    rr8 = eng.query_batch(q8, 4.0, alpha=1.2, beta=5.0)
+                    qps8 = 8 / (time.perf_counter() - t0)
+                    northstar[f"cnsm_ed_1e8_qps_{tag}_p1"] = round(qps8, 2)
+                    if qps8 > best_qps:
+                        best_qps, r8 = qps8, rr8
+                except Exception as exc:
+                    northstar[f"cnsm_ed_1e8_{tag}_error"] = str(exc)[:120]
+            if r8 is None:
+                raise RuntimeError("both cNSM 1e8 routes failed")
+            northstar["cnsm_ed_1e8_qps"] = round(best_qps, 2)
             northstar["cnsm_ed_1e8_self_found"] = sum(
                 1 for o, r in zip(offs8, r8) if int(o) in r.offsets.tolist())
             northstar["cnsm_ed_1e8_cands_per_query"] = int(
