@@ -109,7 +109,13 @@ class BaseEngine:
                  qcfg: QueryConfig = DEFAULT_QUERY_CONFIG,
                  device_data=None):
         import jax.numpy as jnp
-        stream = isinstance(device_data, str) and device_data == "stream"
+        stream = isinstance(device_data, str) and device_data in ("stream",
+                                                                  "host")
+        # device_data="host": no device at all — phase 1 is host interval
+        # algebra as in stream mode, and phase 2 must take the tiny-load host
+        # f64 route (_host_verify_ok); larger candidate loads raise instead of
+        # silently touching a device that may not exist.
+        self.host_only = device_data == "host"
         data = np.asarray(data)
         if stream and data.dtype == np.float32:
             # Series larger than device HBM: keep the host copy f32 (an f64
@@ -430,6 +436,13 @@ class BaseEngine:
         return (np.concatenate(starts), np.concatenate(vfrom),
                 np.concatenate(vto), np.concatenate(qids), M)
 
+    #: Above this series length the cumsum-based host prefilters (PAA,
+    #: constraint) are skipped on the host verify route: the cached f64
+    #: prefix sums cost 16 bytes/point (two 80 GB arrays at n=1e10) while the
+    #: route only ever sees tiny candidate sets the exact kernel handles
+    #: directly.
+    PREFILTER_CUMSUM_MAX_N = 1 << 31
+
     def _host_verify_ok(self, cand_ivs, L: int) -> bool:
         """True when the batch's whole phase-2 load is small enough that the
         exact f64 host kernel undercuts even ONE device launch (the fixed
@@ -469,6 +482,13 @@ class BaseEngine:
         the clamped global envelope exactly.  This is the HBM-era analog of
         the reference's batched storage reads at n=1e10+ scales
         (NormQueryEngine.java:454-479, LongRandomQueryTest.java:33-50)."""
+        if getattr(self, "host_only", False):
+            total = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
+            raise RuntimeError(
+                f"host-only engine: candidate load ({total} offsets x "
+                f"L={ctxs[0].length}) exceeds host_verify_max_points="
+                f"{self.qcfg.host_verify_max_points}; phase 2 would need the "
+                f"device (device_data='stream')")
         import jax.numpy as jnp
         from ..ops.ed import pad_to_tiles
 

@@ -194,7 +194,8 @@ class NormQueryEngineDtw(NormQueryEngine):
         cols = np.arange(L)
 
         def piece(p):
-            x = self.data[p[:, None] + cols[None, :]]
+            x = self.data[p[:, None] + cols[None, :]].astype(
+                np.float64, copy=False)
             mu_h = x.mean(axis=1)
             var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
             sd_h = np.sqrt(var_h)

@@ -425,20 +425,26 @@ class NormQueryEngine(BaseEngine):
         """Fused multi-query z-norm verification: region/conv (MASS) path for
         clustered candidates, exact host constraint prefilter + gather kernel for
         scattered ones."""
-        if self.data_dev is None:
-            return self._verify_multi_streamed(cand_ivs, ctxs)
-        import jax.numpy as jnp
         L = ctxs[0].length
         if self._host_verify_ok(cand_ivs, L):
             # Tiny load: constraint + PAA-z prefilters (prefix sums only),
-            # then the exact f64 host kernel — no device launch at all.
+            # then the exact f64 host kernel — no device launch at all.  The
+            # prefilters need the cached full-series prefix sums, so they are
+            # skipped when those are unaffordable (n=1e10 host-only mode; the
+            # exact kernel applies the constraints itself either way).
+            pre_ok = self.n <= self.PREFILTER_CUMSUM_MAX_N
             out = []
             for (l, r), c in zip(cand_ivs, ctxs):
                 offs = iv.expand_offsets({"left": l, "right": r})
                 c.stats.n_host_checked = int(offs.size)
-                out.append(self._confirm_znorm_exact(self._paa_z_prefilter(
-                    self._constraint_prefilter(offs, c), c, c.eps2), c))
+                if pre_ok:
+                    offs = self._paa_z_prefilter(
+                        self._constraint_prefilter(offs, c), c, c.eps2)
+                out.append(self._confirm_znorm_exact(offs, c))
             return out
+        if self.data_dev is None:
+            return self._verify_multi_streamed(cand_ivs, ctxs)
+        import jax.numpy as jnp
         for (l, r), ctx in zip(cand_ivs, ctxs):
             ctx.stats.n_device_checked = int(np.sum(r - l + 1)) if l.size else 0
         qhats = np.stack([(c.query - c.params["_mu_q"]) / c.params["_sd_q"]
@@ -540,7 +546,8 @@ class NormQueryEngine(BaseEngine):
         cols = np.arange(L)
 
         def piece(p):
-            x = self.data[p[:, None] + cols[None, :]]
+            x = self.data[p[:, None] + cols[None, :]].astype(
+                np.float64, copy=False)
             mu_h = x.mean(axis=1)
             var_h = np.maximum(np.mean(x * x, axis=1) - mu_h * mu_h, 0.0)
             sd_h = np.sqrt(var_h)

@@ -134,7 +134,8 @@ class QueryEngineDtw(QueryEngine):
                 if border.size:
                     def piece(p, ctx=ctx):
                         d2h = dtw_banded_batch_f64(
-                            self.data[p[:, None] + cols[None, :]], ctx.query,
+                            self.data[p[:, None] + cols[None, :]].astype(
+                                np.float64, copy=False), ctx.query,
                             rho, ub=ctx.eps2)
                         keep = d2h <= ctx.eps2
                         return p[keep], np.sqrt(d2h[keep])

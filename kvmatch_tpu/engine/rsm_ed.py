@@ -133,7 +133,8 @@ class QueryEngine(BaseEngine):
         cols = np.arange(ctx.length)
 
         def piece(p):
-            diff = self.data[p[:, None] + cols[None, :]] - ctx.query[None, :]
+            diff = self.data[p[:, None] + cols[None, :]].astype(
+                np.float64, copy=False) - ctx.query[None, :]
             d2h = np.einsum("ij,ij->i", diff, diff)
             keep = d2h <= ctx.eps2
             return p[keep], np.sqrt(d2h[keep])
@@ -188,21 +189,24 @@ class QueryEngine(BaseEngine):
         """Fused multi-query verification.  Clustered candidate sets go through
         the region/conv path (MXU sliding correlation, ops/regions.py); scattered
         ones through the per-candidate gather kernel."""
-        if self.data_dev is None:
-            return self._verify_multi_streamed(cand_ivs, ctxs)
-        import jax.numpy as jnp
         L = ctxs[0].length
         if self._host_verify_ok(cand_ivs, L):
             # Tiny load: exact f64 host kernel beats the device launch floor
             # (see QueryConfig.host_verify_max_points).  PAA prefilter first —
-            # it needs only prefix sums, no window gather.
+            # it needs only prefix sums, no window gather — unless caching the
+            # prefix sums themselves is unaffordable (n=1e10 host-only mode).
+            paa_ok = self.n <= self.PREFILTER_CUMSUM_MAX_N
             out = []
             for (l, r), c in zip(cand_ivs, ctxs):
                 offs = iv.expand_offsets({"left": l, "right": r})
                 c.stats.n_host_checked = int(offs.size)
-                out.append(self._confirm_ed(
-                    self._paa_prefilter(offs, c, c.eps2), c))
+                if paa_ok:
+                    offs = self._paa_prefilter(offs, c, c.eps2)
+                out.append(self._confirm_ed(offs, c))
             return out
+        if self.data_dev is None:
+            return self._verify_multi_streamed(cand_ivs, ctxs)
+        import jax.numpy as jnp
         threshs = np.array([c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
                             for c in ctxs])
         for (l, r), ctx in zip(cand_ivs, ctxs):

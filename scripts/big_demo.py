@@ -86,6 +86,11 @@ def main():
     ap.add_argument("--max-device-wait", type=float, default=7200.0,
                     help="seconds to wait for the TPU tunnel before aborting "
                          "the query section (0 = build/save only)")
+    ap.add_argument("--host-only", action="store_true",
+                    help="run the query section with NO device at all: "
+                         "host phase 1 + the exact-f64 host verify route; "
+                         "queries whose candidate load exceeds "
+                         "host_verify_max_points are skipped with a log line")
     args = ap.parse_args()
 
     from kvmatch_tpu.config import IndexConfig, QueryConfig
@@ -169,61 +174,74 @@ def main():
     # Warm the device link only now: ingest + build are pure host work, so a
     # temporarily unreachable TPU tunnel must delay the query section, not
     # kill the finished build (subprocess probes; in-process init is sticky).
-    if args.max_device_wait <= 0:
-        log(section="done", mode="build-only")
-        return
-    if not wait_for_device(args.max_device_wait):
-        log(section="abort", reason="device unavailable past max wait")
-        return
-    import jax
+    mode = "stream"
+    if args.host_only:
+        mode = "host"
+        log(section="host_only", note="no device; tiny-load exact-f64 route")
+    else:
+        if args.max_device_wait <= 0:
+            log(section="done", mode="build-only")
+            return
+        if not wait_for_device(args.max_device_wait):
+            log(section="abort", reason="device unavailable past max wait")
+            return
+        import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_kvmatch")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    import jax.numpy as jnp
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_kvmatch")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        _ = np.asarray(jnp.ones(16))
+        log(section="device_warm", sec=round(time.perf_counter() - t0, 1))
 
     from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
     from kvmatch_tpu.engine.norm_ed import NormQueryEngine
     from kvmatch_tpu.engine.rsm_ed import QueryEngine
 
-    t0 = time.perf_counter()
-    _ = np.asarray(jnp.ones(16))
-    log(section="device_warm", sec=round(time.perf_counter() - t0, 1))
-
     qcfg = QueryConfig.tpu_tuned()
+    if args.host_only:
+        # Allow bigger loads on the exact host route before bailing: 64M
+        # points ~= 0.5 GB of f32 window reads per query.
+        import dataclasses
+        qcfg = dataclasses.replace(qcfg, host_verify_max_points=1 << 26)
     rng = np.random.default_rng(7)
     offs = np.sort(rng.integers(0, n - args.length, args.queries))
     L = args.length
 
-    eng = QueryEngine(data32, index=index, icfg=icfg, qcfg=qcfg,
-                      device_data="stream")
-    for tag, off in [("warm", int(offs[0]))] + \
-            [(f"q{j}", int(o)) for j, o in enumerate(offs)]:
+    def run_query(section, eng, off, **kw):
         q = data32[off:off + L].astype(np.float64)
         t0 = time.perf_counter()
-        r = eng.query(q, args.eps_ed)
-        log(section=f"rsm_ed_{tag}", offset=off,
+        try:
+            r = eng.query(q, **kw)
+        except RuntimeError as exc:  # host-only overflow: skip, keep going
+            log(section=section, offset=off, skipped=str(exc)[:140])
+            return
+        log(section=section, offset=off,
             ms=round((time.perf_counter() - t0) * 1e3, 1),
             found=bool(off in r.offsets.tolist()),
             answers=int(r.stats.n_answers), cands=int(r.stats.n_candidates),
             p1_ms=round(r.stats.t_phase1_ms, 1),
             p2_ms=round(r.stats.t_phase2_ms, 1))
+
+    eng = QueryEngine(data32, index=index, icfg=icfg, qcfg=qcfg,
+                      device_data=mode)
+    for tag, off in [("warm", int(offs[0]))] + \
+            [(f"q{j}", int(o)) for j, o in enumerate(offs)]:
+        run_query(f"rsm_ed_{tag}", eng, off, epsilon=args.eps_ed)
 
     neng = NormQueryEngine(data32, index=index, icfg=icfg, qcfg=qcfg,
-                           device_data="stream")
+                           device_data=mode)
     for tag, off in [("warm", int(offs[0]))] + \
             [(f"q{j}", int(o)) for j, o in enumerate(offs)]:
-        q = data32[off:off + L].astype(np.float64)
-        t0 = time.perf_counter()
-        r = neng.query(q, args.eps_cnsm, alpha=1.2, beta=5.0)
-        log(section=f"cnsm_ed_{tag}", offset=off,
-            ms=round((time.perf_counter() - t0) * 1e3, 1),
-            found=bool(off in r.offsets.tolist()),
-            answers=int(r.stats.n_answers), cands=int(r.stats.n_candidates),
-            p1_ms=round(r.stats.t_phase1_ms, 1),
-            p2_ms=round(r.stats.t_phase2_ms, 1))
+        run_query(f"cnsm_ed_{tag}", neng, off, epsilon=args.eps_cnsm,
+                  alpha=1.2, beta=5.0)
 
-    if args.dtw:
+    if args.dtw and args.host_only:
+        log(section="cnsm_dtw_q0", skipped="no host-only DTW route")
+    elif args.dtw:
         deng = NormQueryEngineDtw(data32, index=index, icfg=icfg, qcfg=qcfg,
                                   device_data="stream")
         off = int(offs[0])

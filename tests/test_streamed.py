@@ -109,3 +109,41 @@ def test_streamed_requires_index(setup):
     with pytest.raises(ValueError, match="stream"):
         QueryEngine(data, index=None, icfg=IndexConfig(),
                     device_data="stream")
+
+
+def test_host_only_mode_answers_and_overflow():
+    """device_data='host': tiny loads answer exactly via the host f64 route
+    (no device); loads beyond host_verify_max_points raise instead of
+    touching a device."""
+    import dataclasses
+
+    import numpy as np
+    import pytest
+    from kvmatch_tpu.config import IndexConfig, QueryConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.rsm_ed import QueryEngine
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    data = generate_series(100_000, seed=21).astype(np.float32)
+    icfg = IndexConfig()
+    index = build_index_numpy(data.astype(np.float64), icfg)
+    qcfg = QueryConfig()
+    host = QueryEngine(data, index=index, icfg=icfg, qcfg=qcfg,
+                       device_data="host")
+    ref = QueryEngine(data.astype(np.float64), index=index, icfg=icfg,
+                      qcfg=qcfg)
+    off, L, eps = 40_000, 512, 5.0
+    q = data[off:off + L].astype(np.float64)
+    rh = host.query(q, eps)
+    rr = ref.query(q, eps)
+    assert rh.offsets.tolist() == rr.offsets.tolist()
+    assert np.allclose(rh.distances, rr.distances)
+    assert off in rh.offsets.tolist()
+    assert rh.stats.n_host_checked > 0
+
+    tiny_cap = QueryEngine(data, index=index, icfg=icfg,
+                           qcfg=dataclasses.replace(
+                               qcfg, host_verify_max_points=1),
+                           device_data="host")
+    with pytest.raises(RuntimeError, match="host-only"):
+        tiny_cap.query(q, eps)
