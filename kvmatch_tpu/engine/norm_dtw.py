@@ -40,13 +40,25 @@ class NormQueryEngineDtw(NormQueryEngine):
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query cNSM-DTW: exact host constraint prefilter, then
         z-normalized LB cascade + banded DP with per-candidate query rows."""
+        from ..utils import intervals as iv
+        if getattr(self, "host_only", False) and \
+                self._host_verify_ok(cand_ivs, ctxs[0].length):
+            # Host-only tiny loads: _confirm_dtw IS the exact pipeline
+            # (window stats + constraints + early-abandoning f64 z-DP).
+            out = []
+            for (l, r), c in zip(cand_ivs, ctxs):
+                offs = iv.expand_offsets({"left": l, "right": r})
+                c.stats.n_host_checked = int(offs.size)
+                o, d = self._confirm_dtw(offs, c)
+                order = np.argsort(o)
+                out.append((o[order], d[order]))
+            return out
         if self.data_dev is None:
             return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp
 
         L = ctxs[0].length
         rho = ctxs[0].params["rho"]
-        from ..utils import intervals as iv
         threshs0 = [c.eps2 + vf.guard_threshold(c.eps2, L, self.qcfg.verify_guard)
                     for c in ctxs]
         cand_offs = []

@@ -40,13 +40,47 @@ class QueryEngineDtw(QueryEngine):
         return super()._probe_rows_eps(seg, ctx)
 
     # ---------------------------------------------------------------- phase 2
+    def _host_verify_dtw(self, offsets: np.ndarray, ctx: _Ctx):
+        """Exact host verification (host-only mode): f64 query-envelope
+        LB_Keogh prefilter, then the early-abandoning f64 banded DP — no
+        device at all.  Numpy on one core is far slower per candidate than
+        the device cascade, so this route is gated to host_only engines with
+        tiny loads (the n=1e10 no-tunnel demo)."""
+        ctx.stats.n_host_checked = int(offsets.size)
+        if offsets.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
+        rho = ctx.params["rho"]
+        L = ctx.length
+        lo, hi = envelope(ctx.query, rho)
+        cols = np.arange(L)
+
+        def piece(p):
+            x = self.data[p[:, None] + cols[None, :]].astype(
+                np.float64, copy=False)
+            exc = np.maximum(np.maximum(x - hi[None, :], lo[None, :] - x), 0.0)
+            lb = np.einsum("ij,ij->i", exc, exc)
+            keep = lb <= ctx.eps2 * (1.0 + 1e-9) + 1e-9
+            d2 = np.full(p.size, np.inf)
+            if keep.any():
+                d2[keep] = dtw_banded_batch_f64(x[keep], ctx.query, rho,
+                                                ub=ctx.eps2)
+            ans = d2 <= ctx.eps2
+            return p[ans], np.sqrt(d2[ans])
+
+        return self._chunked_confirm(offsets, piece)
+
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query DTW verification: LB cascade then banded DP, with
         per-candidate query rows so one launch stream serves the whole batch."""
+        from ..utils import intervals as iv
+        if getattr(self, "host_only", False) and \
+                self._host_verify_ok(cand_ivs, ctxs[0].length):
+            return [self._host_verify_dtw(
+                iv.expand_offsets({"left": l, "right": r}), c)
+                for (l, r), c in zip(cand_ivs, ctxs)]
         if self.data_dev is None:
             return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp
-        from ..utils import intervals as iv
 
         L = ctxs[0].length
         rho = ctxs[0].params["rho"]

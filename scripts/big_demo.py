@@ -239,20 +239,12 @@ def main():
         run_query(f"cnsm_ed_{tag}", neng, off, epsilon=args.eps_cnsm,
                   alpha=1.2, beta=5.0)
 
-    if args.dtw and args.host_only:
-        log(section="cnsm_dtw_q0", skipped="no host-only DTW route")
-    elif args.dtw:
+    if args.dtw:
         deng = NormQueryEngineDtw(data32, index=index, icfg=icfg, qcfg=qcfg,
-                                  device_data="stream")
-        off = int(offs[0])
-        q = data32[off:off + L].astype(np.float64)
-        t0 = time.perf_counter()
-        r = deng.query(q, args.eps_cnsm, rho=int(0.05 * L),
-                       alpha=1.2, beta=5.0)
-        log(section="cnsm_dtw_q0", offset=off,
-            ms=round((time.perf_counter() - t0) * 1e3, 1),
-            found=bool(off in r.offsets.tolist()),
-            answers=int(r.stats.n_answers), cands=int(r.stats.n_candidates))
+                                  device_data=mode)
+        for tag, off in [(f"q{j}", int(o)) for j, o in enumerate(offs)]:
+            run_query(f"cnsm_dtw_{tag}", deng, off, epsilon=args.eps_cnsm,
+                      rho=int(0.05 * L), alpha=1.2, beta=5.0)
     log(section="done")
 
 

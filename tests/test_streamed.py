@@ -147,3 +147,34 @@ def test_host_only_mode_answers_and_overflow():
                            device_data="host")
     with pytest.raises(RuntimeError, match="host-only"):
         tiny_cap.query(q, eps)
+
+
+def test_host_only_dtw_matches_device_route():
+    """host-only DTW engines answer tiny loads exactly via the f64 host
+    pipeline (LB_Keogh prefilter + early-abandoning banded DP)."""
+    import numpy as np
+    from kvmatch_tpu.config import IndexConfig, QueryConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.norm_dtw import NormQueryEngineDtw
+    from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    data = generate_series(60_000, seed=23)
+    icfg = IndexConfig()
+    index = build_index_numpy(data, icfg)
+    qcfg = QueryConfig(host_verify_max_points=1 << 26)
+    for cls, kw in [(QueryEngineDtw, {}),
+                    (NormQueryEngineDtw, {"alpha": 1.4, "beta": 8.0})]:
+        host = cls(data.astype(np.float32), index=index, icfg=icfg,
+                   qcfg=qcfg, device_data="host")
+        dev = cls(data, index=index, icfg=icfg, qcfg=QueryConfig())
+        off, L = 12_000, 512
+        q = data[off:off + L]
+        rh = host.query(q, 4.0, rho=25, **kw)
+        rd = dev.query(q, 4.0, rho=25, **kw)
+        assert rh.offsets.tolist() == rd.offsets.tolist()
+        # the host engine stores f32 data (stream-mode semantics), so its
+        # exact-f64 distances differ by the f32 input quantization only
+        assert np.allclose(rh.distances, rd.distances, rtol=1e-5, atol=1e-4)
+        assert off in rh.offsets.tolist()
+        assert rh.stats.n_host_checked > 0
