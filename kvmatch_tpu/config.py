@@ -134,6 +134,22 @@ class QueryConfig:
     # x L=8192 = 1.2M points, README.md:72-77) routes host under the default.
     # Set to 0 to force every verify onto the device.
     host_verify_max_points: int = 2_000_000
+    # Host-only engines (device_data='host') additionally accept candidate
+    # loads up to this many OFFSETS by running the run-local prefix-sum
+    # prefilters (constraint + PAA envelope bound, utils/sparse_prefix.py)
+    # before the exact kernel; the post-prefilter survivors must still fit
+    # host_confirm_max_points.  ~20-130 float ops/offset, so 32M offsets is
+    # seconds on one core — vs skipping the query outright at n=1e10 where
+    # full-series cumsums (80 GB) are unaffordable.  0 disables the tier.
+    host_prefilter_max_offsets: int = 33_554_432
+    # Survivor budget for that tier, in POINTS (survivors x L).  Distinct
+    # from host_verify_max_points, which is a host-vs-device ROUTING
+    # break-even; this caps how much exact f64 work the host-only route will
+    # accept before declaring the query out of reach.  The exact kernels are
+    # chunked (memory-bounded), so this is a time budget: ~2 GB/s f64
+    # streaming -> 2^28 points ~ 1 s/query worst case (DTW confirms run the
+    # LB_Keogh prefilter + early-abandon DP behind the same budget).
+    host_confirm_max_points: int = 1 << 28
     # Skip the LB-cascade launch (DTW engines) when the candidate set is at
     # most this many offsets: at ~76k DP-candidates/s a 2048-candidate banded
     # DP costs ~27 ms — less than the extra launch (fixed dispatch floor) plus

@@ -455,6 +455,34 @@ class BaseEngine:
         total = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
         return total * L <= cap
 
+    #: Staged-point budget for the host prefilter tier's run-local prefix
+    #: sums (utils/sparse_prefix.py): 2.5e8 f64 points = 2 GB per array.
+    HOST_PREFILTER_MAX_STAGED = 250_000_000
+
+    def _host_prefilter_prefix(self, cand_ivs, L: int, want_sq: bool):
+        """Run-local prefix views ``(c1, c2)`` for the host-only prefilter
+        tier, or None when the load is outside the tier (too many offsets,
+        or too much coverage to stage within the budget).  The tier lets a
+        host-only engine answer mid-size candidate loads at any n — the
+        full-series cumsums the regular prefilters use are unaffordable at
+        n=1e10 (80 GB/array) — by staging only the candidate runs.  See
+        QueryConfig.host_prefilter_max_offsets."""
+        lim = self.qcfg.host_prefilter_max_offsets
+        if lim <= 0:
+            return None
+        total = sum(int(np.sum(r - l + 1)) for l, r in cand_ivs if l.size)
+        if total == 0 or total > lim:
+            return None
+        from ..utils.sparse_prefix import sparse_prefixes
+        alll = np.concatenate([l for l, r in cand_ivs if l.size])
+        allr = np.concatenate([r for l, r in cand_ivs if l.size])
+        c1, c2, _staged = sparse_prefixes(
+            self.data, alll, allr, L, want_sq=want_sq,
+            max_staged=self.HOST_PREFILTER_MAX_STAGED)
+        if c1 is None:
+            return None
+        return c1, c2
+
     def _verify_intervals(self, left: np.ndarray, right: np.ndarray, ctx: _Ctx
                           ) -> Tuple[np.ndarray, np.ndarray]:
         """Default phase 2: expand intervals to offsets and run the per-candidate

@@ -41,18 +41,21 @@ class NormQueryEngineDtw(NormQueryEngine):
         """Fused multi-query cNSM-DTW: exact host constraint prefilter, then
         z-normalized LB cascade + banded DP with per-candidate query rows."""
         from ..utils import intervals as iv
-        if getattr(self, "host_only", False) and \
-                self._host_verify_ok(cand_ivs, ctxs[0].length):
-            # Host-only tiny loads: _confirm_dtw IS the exact pipeline
-            # (window stats + constraints + early-abandoning f64 z-DP).
-            out = []
-            for (l, r), c in zip(cand_ivs, ctxs):
-                offs = iv.expand_offsets({"left": l, "right": r})
-                c.stats.n_host_checked = int(offs.size)
-                o, d = self._confirm_dtw(offs, c)
-                order = np.argsort(o)
-                out.append((o[order], d[order]))
-            return out
+        if getattr(self, "host_only", False):
+            if self._host_verify_ok(cand_ivs, ctxs[0].length):
+                # Host-only tiny loads: _confirm_dtw IS the exact pipeline
+                # (window stats + constraints + early-abandoning f64 z-DP).
+                out = []
+                for (l, r), c in zip(cand_ivs, ctxs):
+                    offs = iv.expand_offsets({"left": l, "right": r})
+                    c.stats.n_host_checked = int(offs.size)
+                    o, d = self._confirm_dtw(offs, c)
+                    order = np.argsort(o)
+                    out.append((o[order], d[order]))
+                return out
+            tier = self._host_zdtw_prefilter_tier(cand_ivs, ctxs)
+            if tier is not None:
+                return tier
         if self.data_dev is None:
             return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp
@@ -193,6 +196,41 @@ class NormQueryEngineDtw(NormQueryEngine):
                 order = np.argsort(offs_q)
                 per_q[qi] = (offs_q[order], dist_q[order])
         return per_q
+
+    def _host_zdtw_prefilter_tier(self, cand_ivs, ctxs):
+        """Host-only mid-size loads: run-local constraint prefilter (two
+        prefix lookups/offset) + z-space PAA envelope bound prune the load
+        to what the exact f64 pipeline can verify; None when the load is
+        outside the tier or too many candidates survive."""
+        from ..utils import intervals as iv
+        L = ctxs[0].length
+        pre = self._host_prefilter_prefix(cand_ivs, L, want_sq=True)
+        if pre is None:
+            return None
+        surv = []
+        for (l, r), c in zip(cand_ivs, ctxs):
+            offs = iv.expand_offsets({"left": l, "right": r})
+            c.stats.n_host_checked = int(offs.size)
+            offs = self._constraint_prefilter(offs, c, prefix=pre)
+            blocks = 16
+            cw = L // blocks
+            if cw >= 4 and offs.size:
+                nblk = L // cw
+                zq = (c.query - c.params["_mu_q"]) / c.params["_sd_q"]
+                e_lo, e_hi = envelope(zq, c.params["rho"])
+                env_blk = (e_lo[: nblk * cw].reshape(nblk, cw).mean(axis=1),
+                           e_hi[: nblk * cw].reshape(nblk, cw).mean(axis=1))
+                offs = self._paa_z_prefilter(offs, c, c.eps2,
+                                             env=env_blk, prefix=pre)
+            surv.append(offs)
+        if sum(o.size for o in surv) * L > self.qcfg.host_confirm_max_points:
+            return None  # falls through to the streamed-path skip error
+        out = []
+        for offs, c in zip(surv, ctxs):
+            o, d = self._confirm_dtw(offs, c)
+            order = np.argsort(o)
+            out.append((o[order], d[order]))
+        return out
 
     def _confirm_dtw(self, near: np.ndarray, ctx: _Ctx):
         """Exact float64 confirmation: constraints + banded DTW on z-normed

@@ -353,7 +353,7 @@ class NormQueryEngine(BaseEngine):
 
     def _paa_z_prefilter(self, offsets: np.ndarray, ctx: _Ctx,
                          thresh: float, blocks: int = 16,
-                         env=None) -> np.ndarray:
+                         env=None, prefix=None) -> np.ndarray:
         """PAA lower bound in z-space from prefix sums — no window gather.
 
         By Jensen, for block width c: z-ED^2(T, Q) >= c * sum_k (mean_k(z(T)) -
@@ -370,32 +370,43 @@ class NormQueryEngine(BaseEngine):
         if offsets.size == 0 or c < 4:
             return offsets
         nblk = L // c
-        c1, c2 = self._cumsums()
-        s1 = c1[offsets + L] - c1[offsets]
-        mean = s1 / L
-        var = np.maximum((c2[offsets + L] - c2[offsets]) / L - mean * mean, 0.0)
-        std = np.sqrt(var)
-        std = np.where(std > 0, std, 1.0)
+        c1, c2 = prefix if prefix is not None else self._cumsums()
         mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
         zq = ctx.params.get("_zq_blk")
         if zq is None or zq.size != nblk:
             qz = (ctx.query - mu_q) / sd_q
             zq = qz[: nblk * c].reshape(nblk, c).mean(axis=1)
             ctx.params["_zq_blk"] = zq
-        o = offsets[:, None] + np.arange(nblk)[None, :] * c
-        blk = (c1[o + c] - c1[o]) / c
-        zb = (blk - mean[:, None]) / std[:, None]
-        if env is not None:
-            lo_blk, hi_blk = env
-            d = np.maximum(np.maximum(zb - hi_blk[None, :],
-                                      lo_blk[None, :] - zb), 0.0)
-            lb = c * np.sum(d * d, axis=1)
-        else:
-            lb = c * np.sum((zb - zq[None, :]) ** 2, axis=1)
+        # Chunked like _paa_prefilter: the host prefilter tier can pass tens
+        # of millions of offsets, and an unchunked (B, nblk) set of
+        # temporaries would cost GBs.
+        CHUNK = 1 << 20
+        cols = np.arange(nblk) * c
+        lb = np.empty(offsets.size)
+        for s in range(0, offsets.size, CHUNK):
+            off_c = offsets[s: s + CHUNK]
+            s1 = c1[off_c + L] - c1[off_c]
+            mean = s1 / L
+            var = np.maximum((c2[off_c + L] - c2[off_c]) / L - mean * mean,
+                             0.0)
+            std = np.sqrt(var)
+            std = np.where(std > 0, std, 1.0)
+            o = off_c[:, None] + cols[None, :]
+            blk = (c1[o + c] - c1[o]) / c
+            zb = (blk - mean[:, None]) / std[:, None]
+            if env is not None:
+                lo_blk, hi_blk = env
+                d = np.maximum(np.maximum(zb - hi_blk[None, :],
+                                          lo_blk[None, :] - zb), 0.0)
+                lb[s: s + CHUNK] = c * np.einsum("ij,ij->i", d, d)
+            else:
+                d = zb - zq[None, :]
+                lb[s: s + CHUNK] = c * np.einsum("ij,ij->i", d, d)
         # f64 prefix-sum rounding guard (relative; the bound itself is exact math)
         return offsets[lb <= thresh * (1.0 + 1e-9) + 1e-9]
 
-    def _constraint_prefilter(self, offsets: np.ndarray, ctx: _Ctx) -> np.ndarray:
+    def _constraint_prefilter(self, offsets: np.ndarray, ctx: _Ctx,
+                              prefix=None) -> np.ndarray:
         """Drop candidates violating the mean/std constraints BEFORE any window
         gather: the constraint needs only two prefix-sum lookups per offset, so
         testing it first collapses the cNSM verify cost when alpha/beta are the
@@ -407,7 +418,7 @@ class NormQueryEngine(BaseEngine):
         beta = ctx.params["beta"]
         mu_q, sd_q = ctx.params["_mu_q"], ctx.params["_sd_q"]
         L = ctx.length
-        c1, c2 = self._cumsums()
+        c1, c2 = prefix if prefix is not None else self._cumsums()
         s1 = c1[offsets + L] - c1[offsets]
         mean = s1 / L
         var = np.maximum((c2[offsets + L] - c2[offsets]) / L - mean * mean, 0.0)
@@ -421,6 +432,24 @@ class NormQueryEngine(BaseEngine):
     def _verify_intervals(self, left, right, ctx):
         return self._verify_multi([(left, right)], [ctx])[0]
 
+    def _host_znorm_prefilter_tier(self, cand_ivs, ctxs):
+        """Host-only mid-size loads: run-local constraint + z-PAA prefilters
+        prune the load to what the exact f64 z-norm kernel can verify; None
+        when the load is outside the tier or too many candidates survive."""
+        L = ctxs[0].length
+        pre = self._host_prefilter_prefix(cand_ivs, L, want_sq=True)
+        if pre is None:
+            return None
+        surv = []
+        for (l, r), c in zip(cand_ivs, ctxs):
+            offs = iv.expand_offsets({"left": l, "right": r})
+            c.stats.n_host_checked = int(offs.size)
+            offs = self._constraint_prefilter(offs, c, prefix=pre)
+            surv.append(self._paa_z_prefilter(offs, c, c.eps2, prefix=pre))
+        if sum(o.size for o in surv) * L > self.qcfg.host_confirm_max_points:
+            return None  # falls through to the streamed-path skip error
+        return [self._confirm_znorm_exact(o, c) for o, c in zip(surv, ctxs)]
+
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query z-norm verification: region/conv (MASS) path for
         clustered candidates, exact host constraint prefilter + gather kernel for
@@ -428,20 +457,29 @@ class NormQueryEngine(BaseEngine):
         L = ctxs[0].length
         if self._host_verify_ok(cand_ivs, L):
             # Tiny load: constraint + PAA-z prefilters (prefix sums only),
-            # then the exact f64 host kernel — no device launch at all.  The
-            # prefilters need the cached full-series prefix sums, so they are
-            # skipped when those are unaffordable (n=1e10 host-only mode; the
-            # exact kernel applies the constraints itself either way).
-            pre_ok = self.n <= self.PREFILTER_CUMSUM_MAX_N
+            # then the exact f64 host kernel — no device launch at all.
+            # Past PREFILTER_CUMSUM_MAX_N the full-series prefix sums are
+            # unaffordable (80 GB/array at n=1e10); run-local views
+            # (utils/sparse_prefix.py) keep the prefilters live there.
+            prefix = None
+            if self.n > self.PREFILTER_CUMSUM_MAX_N:
+                prefix = self._host_prefilter_prefix(cand_ivs, L,
+                                                     want_sq=True)
+            pre_ok = prefix is not None or self.n <= self.PREFILTER_CUMSUM_MAX_N
             out = []
             for (l, r), c in zip(cand_ivs, ctxs):
                 offs = iv.expand_offsets({"left": l, "right": r})
                 c.stats.n_host_checked = int(offs.size)
                 if pre_ok:
                     offs = self._paa_z_prefilter(
-                        self._constraint_prefilter(offs, c), c, c.eps2)
+                        self._constraint_prefilter(offs, c, prefix=prefix),
+                        c, c.eps2, prefix=prefix)
                 out.append(self._confirm_znorm_exact(offs, c))
             return out
+        if getattr(self, "host_only", False):
+            tier = self._host_znorm_prefilter_tier(cand_ivs, ctxs)
+            if tier is not None:
+                return tier
         if self.data_dev is None:
             return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp

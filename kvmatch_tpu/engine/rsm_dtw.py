@@ -69,15 +69,46 @@ class QueryEngineDtw(QueryEngine):
 
         return self._chunked_confirm(offsets, piece)
 
+    def _host_dtw_prefilter_tier(self, cand_ivs, ctxs):
+        """Host-only mid-size loads: run-local PAA envelope bound (valid for
+        banded DTW — the lbPaaDTW argument, PaaUcrDtwQueryExecutor.java:413)
+        prunes the load to what the exact f64 route can verify; None when
+        the load is outside the tier or too many candidates survive."""
+        from ..utils import intervals as iv
+        L = ctxs[0].length
+        pre = self._host_prefilter_prefix(cand_ivs, L, want_sq=False)
+        if pre is None:
+            return None
+        c1 = pre[0]
+        surv = []
+        for (l, r), c in zip(cand_ivs, ctxs):
+            offs = iv.expand_offsets({"left": l, "right": r})
+            blocks = 16
+            cw = L // blocks
+            if cw >= 4 and offs.size:
+                nblk = L // cw
+                e_lo, e_hi = envelope(c.query, c.params["rho"])
+                env_blk = (e_lo[: nblk * cw].reshape(nblk, cw).mean(axis=1),
+                           e_hi[: nblk * cw].reshape(nblk, cw).mean(axis=1))
+                offs = self._paa_prefilter(offs, c, float(c.eps2),
+                                           env=env_blk, prefix=c1)
+            surv.append(offs)
+        if sum(o.size for o in surv) * L > self.qcfg.host_confirm_max_points:
+            return None  # falls through to the streamed-path skip error
+        return [self._host_verify_dtw(o, c) for o, c in zip(surv, ctxs)]
+
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query DTW verification: LB cascade then banded DP, with
         per-candidate query rows so one launch stream serves the whole batch."""
         from ..utils import intervals as iv
-        if getattr(self, "host_only", False) and \
-                self._host_verify_ok(cand_ivs, ctxs[0].length):
-            return [self._host_verify_dtw(
-                iv.expand_offsets({"left": l, "right": r}), c)
-                for (l, r), c in zip(cand_ivs, ctxs)]
+        if getattr(self, "host_only", False):
+            if self._host_verify_ok(cand_ivs, ctxs[0].length):
+                return [self._host_verify_dtw(
+                    iv.expand_offsets({"left": l, "right": r}), c)
+                    for (l, r), c in zip(cand_ivs, ctxs)]
+            tier = self._host_dtw_prefilter_tier(cand_ivs, ctxs)
+            if tier is not None:
+                return tier
         if self.data_dev is None:
             return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp

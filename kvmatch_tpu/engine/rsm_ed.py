@@ -145,7 +145,7 @@ class QueryEngine(BaseEngine):
         return self._verify_multi([(left, right)], [ctx])[0]
 
     def _paa_prefilter(self, offsets: np.ndarray, ctx: _Ctx, thresh: float,
-                       blocks: int = 16, env=None) -> np.ndarray:
+                       blocks: int = 16, env=None, prefix=None) -> np.ndarray:
         """Raw-space PAA lower bound from prefix sums (no window gather): by
         Jensen, ED^2 >= c * sum_k (blk_mean(T) - blk_mean(Q))^2 over whole
         blocks of width c (PaaUcrEdQueryExecutor.java:104-120 moved inside the
@@ -157,9 +157,12 @@ class QueryEngine(BaseEngine):
         if offsets.size == 0 or c < 4:
             return offsets
         nblk = L // c
-        if not hasattr(self, "_c1_paa"):
-            self._c1_paa = np.concatenate(([0.0], np.cumsum(self.data)))
-        c1 = self._c1_paa
+        if prefix is not None:
+            c1 = prefix  # run-local view (utils/sparse_prefix.py): any-n mode
+        else:
+            if not hasattr(self, "_c1_paa"):
+                self._c1_paa = np.concatenate(([0.0], np.cumsum(self.data)))
+            c1 = self._c1_paa
         if env is not None:
             lo_blk, hi_blk = env
             qb = None
@@ -185,6 +188,25 @@ class QueryEngine(BaseEngine):
             lb[s: s + CHUNK] = c * np.einsum("ij,ij->i", d, d)
         return offsets[lb <= thresh * (1.0 + 1e-9) + 1e-9]
 
+    def _host_ed_prefilter_tier(self, cand_ivs, ctxs):
+        """Host-only mid-size loads: run-local PAA lower bound prunes the
+        load to what the exact f64 kernel can verify; None when the load is
+        outside the tier (QueryConfig.host_prefilter_max_offsets) or too
+        many candidates survive."""
+        L = ctxs[0].length
+        pre = self._host_prefilter_prefix(cand_ivs, L, want_sq=False)
+        if pre is None:
+            return None
+        c1 = pre[0]
+        surv = []
+        for (l, r), c in zip(cand_ivs, ctxs):
+            offs = iv.expand_offsets({"left": l, "right": r})
+            c.stats.n_host_checked = int(offs.size)
+            surv.append(self._paa_prefilter(offs, c, c.eps2, prefix=c1))
+        if sum(o.size for o in surv) * L > self.qcfg.host_confirm_max_points:
+            return None  # falls through to the streamed-path skip error
+        return [self._confirm_ed(o, c) for o, c in zip(surv, ctxs)]
+
     def _verify_multi(self, cand_ivs, ctxs):
         """Fused multi-query verification.  Clustered candidate sets go through
         the region/conv path (MXU sliding correlation, ops/regions.py); scattered
@@ -193,17 +215,26 @@ class QueryEngine(BaseEngine):
         if self._host_verify_ok(cand_ivs, L):
             # Tiny load: exact f64 host kernel beats the device launch floor
             # (see QueryConfig.host_verify_max_points).  PAA prefilter first —
-            # it needs only prefix sums, no window gather — unless caching the
-            # prefix sums themselves is unaffordable (n=1e10 host-only mode).
-            paa_ok = self.n <= self.PREFILTER_CUMSUM_MAX_N
+            # it needs only prefix sums, no window gather.  Past
+            # PREFILTER_CUMSUM_MAX_N the full-series cumsum is unaffordable
+            # (80 GB at n=1e10); run-local views keep the prefilter live.
+            prefix = None
+            if self.n > self.PREFILTER_CUMSUM_MAX_N:
+                pre = self._host_prefilter_prefix(cand_ivs, L, want_sq=False)
+                prefix = pre[0] if pre is not None else None
+            paa_ok = prefix is not None or self.n <= self.PREFILTER_CUMSUM_MAX_N
             out = []
             for (l, r), c in zip(cand_ivs, ctxs):
                 offs = iv.expand_offsets({"left": l, "right": r})
                 c.stats.n_host_checked = int(offs.size)
                 if paa_ok:
-                    offs = self._paa_prefilter(offs, c, c.eps2)
+                    offs = self._paa_prefilter(offs, c, c.eps2, prefix=prefix)
                 out.append(self._confirm_ed(offs, c))
             return out
+        if getattr(self, "host_only", False):
+            tier = self._host_ed_prefilter_tier(cand_ivs, ctxs)
+            if tier is not None:
+                return tier
         if self.data_dev is None:
             return self._verify_multi_streamed(cand_ivs, ctxs)
         import jax.numpy as jnp

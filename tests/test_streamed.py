@@ -141,9 +141,12 @@ def test_host_only_mode_answers_and_overflow():
     assert off in rh.offsets.tolist()
     assert rh.stats.n_host_checked > 0
 
+    # with the direct route AND the prefilter tier both capped out, the
+    # host-only engine must refuse rather than touch a device
     tiny_cap = QueryEngine(data, index=index, icfg=icfg,
                            qcfg=dataclasses.replace(
-                               qcfg, host_verify_max_points=1),
+                               qcfg, host_verify_max_points=1,
+                               host_prefilter_max_offsets=0),
                            device_data="host")
     with pytest.raises(RuntimeError, match="host-only"):
         tiny_cap.query(q, eps)
@@ -178,3 +181,85 @@ def test_host_only_dtw_matches_device_route():
         assert np.allclose(rh.distances, rd.distances, rtol=1e-5, atol=1e-4)
         assert off in rh.offsets.tolist()
         assert rh.stats.n_host_checked > 0
+
+
+def test_sparse_prefix_matches_dense_cumsum():
+    """SparsePrefix differences inside covered windows equal the dense
+    cumsum's for sums and sums of squares, across merged/disjoint runs."""
+    from kvmatch_tpu.utils.sparse_prefix import sparse_prefixes
+
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal(10_000)
+    dense1 = np.concatenate(([0.0], np.cumsum(data)))
+    dense2 = np.concatenate(([0.0], np.cumsum(data * data)))
+    L = 64
+    left = np.array([100, 150, 400, 5000, 9000], np.int64)
+    right = np.array([120, 300, 410, 5500, 9936 - L + 64], np.int64)
+    right = np.minimum(right, 10_000 - L)
+    c1, c2, staged = sparse_prefixes(data, left, right, L, want_sq=True)
+    assert staged < data.size + (L + 1) * left.size
+    for lo, hi in zip(left, right):
+        offs = np.arange(lo, hi + 1)
+        np.testing.assert_allclose(c1[offs + L] - c1[offs],
+                                   dense1[offs + L] - dense1[offs],
+                                   rtol=1e-12, atol=1e-9)
+        np.testing.assert_allclose(c2[offs + L] - c2[offs],
+                                   dense2[offs + L] - dense2[offs],
+                                   rtol=1e-12, atol=1e-9)
+        # block lookups, 2D index shapes
+        blk = offs[:, None] + np.arange(0, L, 16)[None, :]
+        np.testing.assert_allclose(c1[blk + 16] - c1[blk],
+                                   dense1[blk + 16] - dense1[blk],
+                                   rtol=1e-12, atol=1e-9)
+
+    # budget refusal
+    n1, n2, tot = sparse_prefixes(data, left, right, L, max_staged=10)
+    assert n1 is None and n2 is None and tot > 10
+
+
+def test_host_prefilter_tier_matches_reference():
+    """Mid-size host-only loads (beyond host_verify_max_points) answer via
+    the run-local prefilter tier with answer sets equal to the full engine;
+    with the tier disabled the same load raises."""
+    import dataclasses
+
+    from kvmatch_tpu.config import QueryConfig
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.index.build import build_index_numpy
+
+    data = generate_series(120_000, seed=29)
+    icfg = IndexConfig()
+    index = build_index_numpy(data, icfg)
+    # direct host route limited to ~1024 offsets at L=512 — the chosen
+    # epsilons produce larger phase-1 loads, forcing the tier
+    qcfg = QueryConfig(host_verify_max_points=1 << 19,
+                       host_prefilter_max_offsets=1 << 22)
+    qcfg_notier = dataclasses.replace(qcfg, host_prefilter_max_offsets=0)
+    cases = [
+        (QueryEngine, {}, 20.0),
+        (QueryEngineDtw, {"rho": 25}, 18.0),
+        (NormQueryEngine, {"alpha": 1.3, "beta": 6.0}, 6.0),
+        (NormQueryEngineDtw, {"rho": 25, "alpha": 1.3, "beta": 6.0}, 5.0),
+    ]
+    off, L = 40_000, 512
+    q = data[off:off + L]
+    for cls, kw, eps in cases:
+        ref = cls(data, index=index, icfg=icfg)
+        host = cls(data, index=index, icfg=icfg, qcfg=qcfg,
+                   device_data="host")
+        rr = ref.query(q, eps, **kw)
+        rh = host.query(q, eps, **kw)
+        assert rh.offsets.tolist() == rr.offsets.tolist(), cls.__name__
+        # the reference path confirms in f32 on device (+ guarded f64
+        # rechecks); the tier is exact f64 throughout
+        np.testing.assert_allclose(np.sort(rh.distances),
+                                   np.sort(rr.distances),
+                                   rtol=1e-5, atol=1e-4)
+        assert off in rh.offsets.tolist()
+        # the direct host route must have been over-cap for this load —
+        # proven by the no-tier config raising on the identical query
+        notier = cls(data, index=index, icfg=icfg, qcfg=qcfg_notier,
+                     device_data="host")
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="host-only"):
+            notier.query(q, eps, **kw)
