@@ -198,9 +198,12 @@ def _dtw_diag_kernel(L: int, r: int, W_pad: int, PA: int, PQ: int):
     def kernel(ae_ref, qe_ref, out_ref, d1_ref, d2_ref):
         BT = ae_ref.shape[0]
         kvec = jax.lax.broadcasted_iota(jnp.int32, (BT, W_pad), 1)
-        lane_ok = kvec < W
         d1_ref[:] = jnp.full((BT, W_pad), BIG, jnp.float32)
-        d2_ref[:] = jnp.full((BT, W_pad), BIG, jnp.float32)
+        # Boot via the s=-2 carry: at s=0 the only predecessor of the active
+        # cell (0,0) at lane r is D2[r] = 0 (up/dn pull BIG lanes) — removes
+        # the per-step `where(s == 0, ...)` select from all 2L-1 steps.
+        d2_ref[:] = jnp.where(kvec == r, 0.0,
+                              jnp.full((BT, W_pad), BIG, jnp.float32))
         nblk = -(-S // _ROW_BLK)
 
         def blk_body(blk, _):
@@ -222,24 +225,32 @@ def _dtw_diag_kernel(L: int, r: int, W_pad: int, PA: int, PQ: int):
                         aseg, _ROW_BLK - 1 - t, _ROW_BLK - 1 - t + W_pad,
                         axis=1)
                     Qv = jax.lax.slice_in_dim(qseg, t, t + W_pad, axis=1)
-                    # active cell: in band, i,j in range, parity match
-                    srk = s + r - kvec           # = 2i on active lanes
-                    srk2 = s - r + kvec          # = 2j on active lanes
-                    valid = (lane_ok & ((srk & 1) == 0)
-                             & (srk >= 0) & (srk < 2 * L)
-                             & (srk2 >= 0) & (srk2 < 2 * L))
+                    # Lane validity needs only a [lo, hi] range test against
+                    # per-step SCALARS: k <= s+r and k > s+r-2L (i in range),
+                    # r-s <= k <= 2L-1+r-s (j in range), k <= 2r (in band).
+                    # The parity test ((s+r-k) even) is DROPPED on purpose:
+                    # rolls move values between adjacent lanes, which flips
+                    # parity in lockstep with s, so wrong-parity lanes form a
+                    # closed garbage computation that never feeds an active
+                    # lane; the final read at lane r on diagonal 2L-2 is
+                    # active-parity.  2 vector compares replace the 4-compare
+                    # + parity + band mask chain.
+                    lo = jnp.maximum(jnp.maximum(r - s, s + r - 2 * L + 1), 0)
+                    hi = jnp.minimum(jnp.minimum(s + r, 2 * L - 1 + r - s),
+                                     W - 1)
+                    valid = (kvec >= lo) & (kvec <= hi)
                     d = (A - Qv) ** 2
 
                     D1 = d1_ref[:]
+                    # Dead lanes (k >= W) and out-of-range lanes hold BIG, so
+                    # the roll wrap-arounds import BIG on their own — no edge
+                    # fixup selects needed (W < W_pad always: W is odd).
                     up = pltpu.roll(D1, 1, 1)            # lane k <- D1[k-1]
-                    up = jnp.where(kvec == 0, BIG, up)
                     dn = pltpu.roll(D1, W_pad - 1, 1)    # lane k <- D1[k+1]
-                    dn = jnp.where(kvec >= W - 1, BIG, dn)
                     M = jnp.minimum(jnp.minimum(up, dn), d2_ref[:])
-                    if True:  # s == 0 boot: only (0,0) at k=r starts at 0
-                        M = jnp.where(s == 0,
-                                      jnp.where(kvec == r, 0.0, BIG), M)
-                    D = jnp.where(valid, d + jnp.minimum(M, BIG), BIG)
+                    # d + BIG == BIG exactly in f32 (d << 1e30 ulp), so the
+                    # carry cannot drift upward across steps without a cap.
+                    D = jnp.where(valid, d + M, BIG)
                     d2_ref[:] = D1
                     d1_ref[:] = D
             return 0
