@@ -8,6 +8,10 @@ T=176 ms total on the authors' machine, /root/reference/README.md:72-77).
 speedup (176 / value).  Extra fields report index-build throughput and batched
 query throughput for RSM-ED and cNSM-ED.
 
+EVERY section runs under a crash guard (VERDICT r3 weak #2: one unguarded
+device-batch OOM zeroed the whole BENCH_r03 artifact).  A section that fails
+records its error in extras["section_errors"] and the JSON line still lands.
+
 Run: python bench.py [--n N] [--quick]
 """
 
@@ -19,6 +23,7 @@ import statistics
 import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -49,6 +54,30 @@ def _ensure_live_backend() -> str:
                JAX_PLATFORMS="cpu", KVM_BENCH_CPU_FALLBACK="1")
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
     raise RuntimeError("unreachable")  # pragma: no cover
+
+
+SECTION_ERRORS: dict = {}
+
+
+class _Section:
+    """Crash guard: swallows any exception, logging it to SECTION_ERRORS and
+    stderr, so a failing section cannot zero the artifact."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.ok = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is not None:
+            self.ok = False
+            SECTION_ERRORS[self.name] = f"{et.__name__}: {ev}"[:200]
+            print(f"[bench] section '{self.name}' failed: {et.__name__}: "
+                  f"{ev}", file=sys.stderr)
+            traceback.print_exc(limit=4, file=sys.stderr)
+        return True  # suppress
 
 
 def main() -> int:
@@ -119,86 +148,109 @@ def main() -> int:
 
     # --- README demo query ---------------------------------------------------
     L, eps, demo_off = 8192, 10.0, 123_455  # 0-based = reference offset 123456
-    res = engine.query_at(demo_off, L, eps)  # compile warmup
-    demo_ok = bool(res.found and int(res.offsets[0]) == demo_off
-                   and res.distances[0] == 0.0)
-    lat = []
-    for _ in range(3 if args.quick else 7):
-        r = engine.query_at(demo_off, L, eps)
-        lat.append(r.stats.t_total_ms)
-    demo_ms = statistics.median(lat)
+    demo_ms, demo_ok = float("nan"), False
+    with _Section("demo"):
+        res = engine.query_at(demo_off, L, eps)  # compile warmup
+        demo_ok = bool(res.found and int(res.offsets[0]) == demo_off
+                       and res.distances[0] == 0.0)
+        lat = []
+        for _ in range(3 if args.quick else 7):
+            r = engine.query_at(demo_off, L, eps)
+            lat.append(r.stats.t_total_ms)
+        demo_ms = statistics.median(lat)
 
     # --- batched RSM-ED throughput ------------------------------------------
     rng = np.random.default_rng(1)
     nq = 64 if args.quick else args.batch
     offs = rng.integers(0, n - L, nq)
     queries = np.stack([data[o:o + L] for o in offs])
-    engine.query_batch(queries, eps)  # warmup (compiles all launch buckets)
-    rsm_qps = 0.0
-    for _ in range(2):  # the dev tunnel adds large run-to-run variance
-        t0 = time.perf_counter()
-        batch_res = engine.query_batch(queries, eps)
-        rsm_qps = max(rsm_qps, nq / (time.perf_counter() - t0))
-    found = sum(1 for o, r in zip(offs, batch_res) if int(o) in r.offsets.tolist())
-    # Reference's own fitted phase-2 model (QueryEngine.java:55-57) applied to
-    # the measured candidate loads: what the Java engine's verify step would cost
-    # per query on ITS hardware for this exact workload.
-    ref_ms = [4.0707589132278 * r.stats.n_disjoint
-              + 0.269833135638498 * r.stats.n_candidates / 1e5 * L
-              for r in batch_res]
-    ref_rsm_qps = 1000.0 / max(float(np.mean(ref_ms)), 1e-9)
-    rsm_p1_ms = float(np.mean([r.stats.t_phase1_ms for r in batch_res]))
-    rsm_p2_ms = float(np.mean([r.stats.t_phase2_ms for r in batch_res]))
-    rsm_cands = int(np.sum([r.stats.n_candidates for r in batch_res]))
-    rsm_near = int(np.sum([r.stats.n_host_rechecked for r in batch_res]))
+    rsm_qps = ref_rsm_qps = 0.0
+    rsm_p1_ms = rsm_p2_ms = 0.0
+    rsm_cands = rsm_near = found = 0
+    with _Section("rsm_batch"):
+        engine.query_batch(queries, eps)  # warmup (compiles all launch buckets)
+        for _ in range(2):  # the dev tunnel adds large run-to-run variance
+            t0 = time.perf_counter()
+            batch_res = engine.query_batch(queries, eps)
+            rsm_qps = max(rsm_qps, nq / (time.perf_counter() - t0))
+        found = sum(1 for o, r in zip(offs, batch_res)
+                    if int(o) in r.offsets.tolist())
+        # Reference's own fitted phase-2 model (QueryEngine.java:55-57) applied
+        # to the measured candidate loads: what the Java engine's verify step
+        # would cost per query on ITS hardware for this exact workload.
+        ref_ms = [4.0707589132278 * r.stats.n_disjoint
+                  + 0.269833135638498 * r.stats.n_candidates / 1e5 * L
+                  for r in batch_res]
+        ref_rsm_qps = 1000.0 / max(float(np.mean(ref_ms)), 1e-9)
+        rsm_p1_ms = float(np.mean([r.stats.t_phase1_ms for r in batch_res]))
+        rsm_p2_ms = float(np.mean([r.stats.t_phase2_ms for r in batch_res]))
+        rsm_cands = int(np.sum([r.stats.n_candidates for r in batch_res]))
+        rsm_near = int(np.sum([r.stats.n_host_rechecked for r in batch_res]))
 
     # --- batched cNSM-ED throughput -----------------------------------------
-    neng = NormQueryEngine(data, index=index, icfg=icfg, qcfg=qcfg,
-                           device_data=engine.data_dev)
     nq2 = 32 if args.quick else 128
     offs2 = offs[:nq2]
     q2 = queries[:nq2]
-    neng.query_batch(q2, 4.0, alpha=1.2, beta=5.0)  # warmup
-    cnsm_qps = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        nres = neng.query_batch(q2, 4.0, alpha=1.2, beta=5.0)
-        cnsm_qps = max(cnsm_qps, nq2 / (time.perf_counter() - t0))
-    nfound = sum(1 for o, r in zip(offs2, nres) if int(o) in r.offsets.tolist())
-    nref_ms = [9.72276547123376 * r.stats.n_disjoint
-               + 0.0106737255022236 * r.stats.n_candidates / 1e5 * L
-               for r in nres]
-    ref_cnsm_qps = 1000.0 / max(float(np.mean(nref_ms)), 1e-9)
+    cnsm_qps = ref_cnsm_qps = 0.0
+    nfound = 0
+    neng = None
+    with _Section("cnsm_batch"):
+        neng = NormQueryEngine(data, index=index, icfg=icfg, qcfg=qcfg,
+                               device_data=engine.data_dev)
+        neng.query_batch(q2, 4.0, alpha=1.2, beta=5.0)  # warmup
+        for _ in range(2):
+            t0 = time.perf_counter()
+            nres = neng.query_batch(q2, 4.0, alpha=1.2, beta=5.0)
+            cnsm_qps = max(cnsm_qps, nq2 / (time.perf_counter() - t0))
+        nfound = sum(1 for o, r in zip(offs2, nres)
+                     if int(o) in r.offsets.tolist())
+        nref_ms = [9.72276547123376 * r.stats.n_disjoint
+                   + 0.0106737255022236 * r.stats.n_candidates / 1e5 * L
+                   for r in nres]
+        ref_cnsm_qps = 1000.0 / max(float(np.mean(nref_ms)), 1e-9)
 
-    # --- device-resident batched paths --------------------------------------
-    engine.query_batch_device(queries, eps, top_k=32768)  # warmup/compile
+    # --- device-resident batched paths (the BENCH_r03 crash site: now probed
+    # in DENSE_PROBE_GROUP sub-batches with an HBM-aware block budget, and
+    # guarded so a failure cannot zero the artifact) -------------------------
     dev_qps = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        dres = engine.query_batch_device(queries, eps, top_k=32768)
-        dev_qps = max(dev_qps, nq / (time.perf_counter() - t0))
-    dev_found = sum(1 for o, r in zip(offs, dres) if int(o) in r.offsets.tolist())
+    dev_found = 0
+    with _Section("rsm_device_batch"):
+        engine.query_batch_device(queries, eps, top_k=32768)  # warmup/compile
+        for _ in range(2):
+            t0 = time.perf_counter()
+            dres = engine.query_batch_device(queries, eps, top_k=32768)
+            dev_qps = max(dev_qps, nq / (time.perf_counter() - t0))
+        dev_found = sum(1 for o, r in zip(offs, dres)
+                        if int(o) in r.offsets.tolist())
 
-    neng.query_batch_device(q2, 4.0, top_k=32768, alpha=1.2, beta=5.0)  # warmup
     ndev_qps = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        ndres = neng.query_batch_device(q2, 4.0, top_k=32768, alpha=1.2, beta=5.0)
-        ndev_qps = max(ndev_qps, nq2 / (time.perf_counter() - t0))
-    ndev_found = sum(1 for o, r in zip(offs2, ndres) if int(o) in r.offsets.tolist())
+    ndev_found = 0
+    with _Section("cnsm_device_batch"):
+        if neng is None:
+            raise RuntimeError("cnsm_batch section failed; no engine")
+        neng.query_batch_device(q2, 4.0, top_k=32768, alpha=1.2, beta=5.0)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ndres = neng.query_batch_device(q2, 4.0, top_k=32768,
+                                            alpha=1.2, beta=5.0)
+            ndev_qps = max(ndev_qps, nq2 / (time.perf_counter() - t0))
+        ndev_found = sum(1 for o, r in zip(offs2, ndres)
+                         if int(o) in r.offsets.tolist())
 
     # --- RSM-DTW single-query latency ---------------------------------------
     from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
-    deng = QueryEngineDtw(data, index=index, icfg=icfg, qcfg=qcfg,
-                          device_data=engine.data_dev)
     dtw_L, rho = 1024, 51
-    deng.query_at(demo_off, dtw_L, 6.0, rho=rho)  # warmup
-    dt = []
-    for _ in range(3):
-        r = deng.query_at(demo_off, dtw_L, 6.0, rho=rho)
-        dt.append(r.stats.t_total_ms)
-    rsm_dtw_ms = statistics.median(dt)
-    dtw_ok = bool(r.found and int(r.offsets[0]) == demo_off)
+    rsm_dtw_ms, dtw_ok = float("nan"), False
+    with _Section("rsm_dtw"):
+        deng = QueryEngineDtw(data, index=index, icfg=icfg, qcfg=qcfg,
+                              device_data=engine.data_dev)
+        deng.query_at(demo_off, dtw_L, 6.0, rho=rho)  # warmup
+        dt = []
+        for _ in range(3):
+            r = deng.query_at(demo_off, dtw_L, 6.0, rho=rho)
+            dt.append(r.stats.t_total_ms)
+        rsm_dtw_ms = statistics.median(dt)
+        dtw_ok = bool(r.found and int(r.offsets[0]) == demo_off)
 
     # --- MEASURED reference baseline (scalar C twin, single thread) ----------
     # The container has no JVM, so the Java reference can't run here; the twin
@@ -209,34 +261,38 @@ def main() -> int:
                                            ScalarTwinNormEd)
     from kvmatch_tpu.config import QueryConfig as _QC
     twin_cfg = _QC()  # reference cost-model coefficients drive its termination
-    twin = ScalarTwinEd(data, index=index, icfg=icfg, qcfg=twin_cfg,
-                        device_data=engine.data_dev)
-    tdemo = []
-    for _ in range(3):
-        tr = twin.query_at(demo_off, L, eps)
-        tdemo.append(tr.stats.t_total_ms)
-    twin_demo_ms = statistics.median(tdemo)
-    nq_t = min(16, nq)
-    t0 = time.perf_counter()
-    for qrow in queries[:nq_t]:
-        twin.query(qrow, eps)
-    twin_rsm_ms = (time.perf_counter() - t0) * 1e3 / nq_t
+    twin_demo_ms = twin_rsm_ms = twin_cnsm_ms = twin_dtw_ms = float("nan")
+    with _Section("twin_ed"):
+        twin = ScalarTwinEd(data, index=index, icfg=icfg, qcfg=twin_cfg,
+                            device_data=engine.data_dev)
+        tdemo = []
+        for _ in range(3):
+            tr = twin.query_at(demo_off, L, eps)
+            tdemo.append(tr.stats.t_total_ms)
+        twin_demo_ms = statistics.median(tdemo)
+        nq_t = min(16, nq)
+        t0 = time.perf_counter()
+        for qrow in queries[:nq_t]:
+            twin.query(qrow, eps)
+        twin_rsm_ms = (time.perf_counter() - t0) * 1e3 / nq_t
 
-    ntwin = ScalarTwinNormEd(data, index=index, icfg=icfg, qcfg=twin_cfg,
-                             device_data=engine.data_dev)
-    nq_nt = min(8, nq2)
-    t0 = time.perf_counter()
-    for qrow in q2[:nq_nt]:
-        ntwin.query(qrow, 4.0, alpha=1.2, beta=5.0)
-    twin_cnsm_ms = (time.perf_counter() - t0) * 1e3 / nq_nt
+    with _Section("twin_cnsm"):
+        ntwin = ScalarTwinNormEd(data, index=index, icfg=icfg, qcfg=twin_cfg,
+                                 device_data=engine.data_dev)
+        nq_nt = min(8, nq2)
+        t0 = time.perf_counter()
+        for qrow in q2[:nq_nt]:
+            ntwin.query(qrow, 4.0, alpha=1.2, beta=5.0)
+        twin_cnsm_ms = (time.perf_counter() - t0) * 1e3 / nq_nt
 
-    dtwin = ScalarTwinDtw(data, index=index, icfg=icfg, qcfg=twin_cfg,
-                          device_data=engine.data_dev)
-    tdd = []
-    for _ in range(3):
-        tr = dtwin.query_at(demo_off, dtw_L, 6.0, rho=rho)
-        tdd.append(tr.stats.t_total_ms)
-    twin_dtw_ms = statistics.median(tdd)
+    with _Section("twin_dtw"):
+        dtwin = ScalarTwinDtw(data, index=index, icfg=icfg, qcfg=twin_cfg,
+                              device_data=engine.data_dev)
+        tdd = []
+        for _ in range(3):
+            tr = dtwin.query_at(demo_off, dtw_L, 6.0, rho=rho)
+            tdd.append(tr.stats.t_total_ms)
+        twin_dtw_ms = statistics.median(tdd)
 
     # --- cNSM-DTW at the north-star shape (n=1e6, L=8192, rho=409) -----------
     # VERDICT r2 items 2/4: engine q/s with the double-single device confirm,
@@ -247,7 +303,7 @@ def main() -> int:
     cd_found = 0
     cd_rechecked = -1
     nq_cd = 16
-    try:
+    with _Section("cnsm_dtw"):
         if args.quick:
             raise RuntimeError("skipped in --quick")
         cdeng = NormQueryEngineDtw(data, index=index, icfg=icfg, qcfg=qcfg,
@@ -267,22 +323,18 @@ def main() -> int:
         for qrow in q_cd[:2]:
             cdtwin.query(qrow, 4.0, rho=rho_ns, alpha=1.2, beta=5.0)
         twin_cnsm_dtw_ms = (time.perf_counter() - t0) * 1e3 / 2
-    except Exception as exc:  # keep the headline metric alive
-        print(f"cnsm-dtw section skipped/failed: {exc!r}", file=sys.stderr)
 
     # --- kernel efficiency (achieved HBM GB/s vs roofline; VERDICT r1 #8) ----
     kernel_eff = {}
     if not args.quick:
-        try:
+        with _Section("kernel_efficiency"):
             from kvmatch_tpu.utils.kernel_bench import measure_kernel_efficiency
             kernel_eff = measure_kernel_efficiency(engine.data_dev, reps=8)
-        except Exception as exc:
-            kernel_eff = {"error": str(exc)[:120]}
 
     # --- north-star shape: cNSM-ED at n=1e8 (VERDICT r2 items 2/3) -----------
     northstar = {}
     if not args.quick and args.northstar:
-        try:
+        with _Section("northstar"):
             import gc
             from kvmatch_tpu.index.device_build import build_index_device
             n8 = 100_000_000
@@ -350,26 +402,31 @@ def main() -> int:
                 * northstar["cnsm_ed_1e8_qps"] / 1000.0, 1)
             del twin8, eng8, index8, data8
             gc.collect()
-        except Exception as exc:
-            northstar["error"] = str(exc)[:200]
+
+    def _r(x, nd=1):
+        try:
+            v = round(float(x), nd)
+            return v if np.isfinite(v) else None
+        except Exception:
+            return None
 
     out = {
         "metric": "RSM-ED demo query latency (n=1e6, L=8192, eps=10, self-query)",
-        "value": round(demo_ms, 2),
+        "value": _r(demo_ms, 2),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_DEMO_MS / demo_ms, 2),
+        "vs_baseline": _r(BASELINE_DEMO_MS / demo_ms, 2),
         "extras": {
             "baseline_ms": BASELINE_DEMO_MS,
-            "index_build_mpts_per_s": round(build_mpts, 2),
-            "index_memory_mb": round(total_memory_bytes(index) / 1e6, 1),
-            "rsm_ed_batch_qps": round(rsm_qps, 1),
-            "cnsm_ed_batch_qps": round(cnsm_qps, 1),
-            "rsm_ed_batch_speedup_vs_ref_demo_rate": round(
+            "index_build_mpts_per_s": _r(build_mpts, 2),
+            "index_memory_mb": _r(total_memory_bytes(index) / 1e6, 1),
+            "rsm_ed_batch_qps": _r(rsm_qps, 1),
+            "cnsm_ed_batch_qps": _r(cnsm_qps, 1),
+            "rsm_ed_batch_speedup_vs_ref_demo_rate": _r(
                 rsm_qps / (1000.0 / BASELINE_DEMO_MS), 1),
-            "ref_costmodel_rsm_qps_est": round(ref_rsm_qps, 2),
-            "ref_costmodel_cnsm_qps_est": round(ref_cnsm_qps, 3),
-            "rsm_speedup_vs_ref_costmodel": round(rsm_qps / ref_rsm_qps, 1),
-            "cnsm_speedup_vs_ref_costmodel": round(cnsm_qps / ref_cnsm_qps, 1),
+            "ref_costmodel_rsm_qps_est": _r(ref_rsm_qps, 2),
+            "ref_costmodel_cnsm_qps_est": _r(ref_cnsm_qps, 3),
+            "rsm_speedup_vs_ref_costmodel": _r(rsm_qps / max(ref_rsm_qps, 1e-9), 1),
+            "cnsm_speedup_vs_ref_costmodel": _r(cnsm_qps / max(ref_cnsm_qps, 1e-9), 1),
             # measured single-thread scalar-C twin of the reference (see
             # kvmatch_tpu/baseline_twin.py); ratios vs these are MEASURED
             # Caveats for the twin ratios: (1) the twin REUSES this engine's
@@ -382,34 +439,35 @@ def main() -> int:
             # flood workloads (docs/results_r2.md).
             "twin_note": "twin shares our phase 0/1; single-query ratios are "
                          "tunnel-launch-floor-bound",
-            "twin_demo_ms_measured": round(twin_demo_ms, 1),
-            "twin_rsm_ms_per_query_measured": round(twin_rsm_ms, 1),
-            "twin_cnsm_ms_per_query_measured": round(twin_cnsm_ms, 1),
-            "twin_rsm_dtw_ms_measured": round(twin_dtw_ms, 1),
-            "demo_speedup_vs_twin_measured": round(twin_demo_ms / demo_ms, 1),
-            "rsm_batch_speedup_vs_twin_measured": round(
+            "twin_demo_ms_measured": _r(twin_demo_ms, 1),
+            "twin_rsm_ms_per_query_measured": _r(twin_rsm_ms, 1),
+            "twin_cnsm_ms_per_query_measured": _r(twin_cnsm_ms, 1),
+            "twin_rsm_dtw_ms_measured": _r(twin_dtw_ms, 1),
+            "demo_speedup_vs_twin_measured": _r(twin_demo_ms / demo_ms, 1),
+            "rsm_batch_speedup_vs_twin_measured": _r(
                 twin_rsm_ms * rsm_qps / 1000.0, 1),
-            "cnsm_batch_speedup_vs_twin_measured": round(
+            "cnsm_batch_speedup_vs_twin_measured": _r(
                 twin_cnsm_ms * cnsm_qps / 1000.0, 1),
-            "rsm_dtw_speedup_vs_twin_measured": round(
+            "rsm_dtw_speedup_vs_twin_measured": _r(
                 twin_dtw_ms / rsm_dtw_ms, 1),
-            "rsm_dtw_query_ms": round(rsm_dtw_ms, 1),
-            "cnsm_dtw_batch_qps": round(cnsm_dtw_qps, 3),
-            "twin_cnsm_dtw_ms_measured": round(twin_cnsm_dtw_ms, 0),
-            "cnsm_dtw_speedup_vs_twin_measured": round(
+            "rsm_dtw_query_ms": _r(rsm_dtw_ms, 1),
+            "cnsm_dtw_batch_qps": _r(cnsm_dtw_qps, 3),
+            "twin_cnsm_dtw_ms_measured": _r(twin_cnsm_dtw_ms, 0),
+            "cnsm_dtw_speedup_vs_twin_measured": _r(
                 twin_cnsm_dtw_ms * cnsm_dtw_qps / 1000.0, 1),
             "cnsm_dtw_host_rechecked": cd_rechecked,
             "northstar": northstar,
-            "rsm_ed_device_batch_qps": round(dev_qps, 1),
-            "cnsm_ed_device_batch_qps": round(ndev_qps, 1),
-            "rsm_batch_p1_ms": round(rsm_p1_ms, 2),
-            "rsm_batch_p2_ms": round(rsm_p2_ms, 2),
+            "rsm_ed_device_batch_qps": _r(dev_qps, 1),
+            "cnsm_ed_device_batch_qps": _r(ndev_qps, 1),
+            "rsm_batch_p1_ms": _r(rsm_p1_ms, 2),
+            "rsm_batch_p2_ms": _r(rsm_p2_ms, 2),
             "rsm_batch_candidates": rsm_cands,
             "rsm_batch_host_rechecked": rsm_near,
             "n": n,
             "device": str(jax.devices()[0]),
             "backend_mode": backend_mode,
             "kernel_efficiency": kernel_eff,
+            "section_errors": SECTION_ERRORS,
             "correctness": {
                 "demo_exact": demo_ok,
                 "rsm_batch_self_found": f"{found}/{nq}",

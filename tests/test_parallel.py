@@ -13,7 +13,10 @@ from kvmatch_tpu.index.build import build_index_numpy, compute_buckets_tpu
 from kvmatch_tpu.parallel.build import build_index_sharded
 from kvmatch_tpu.parallel.mesh import make_mesh
 from kvmatch_tpu.parallel.query import (
+
     make_dense_query_step, make_sharded_query_step, pack_bucket_stack, pack_segments)
+
+pytestmark = pytest.mark.slow  # multi-minute XLA-compile-heavy; quick lane skips
 
 
 @pytest.fixture(scope="module")

@@ -17,6 +17,9 @@ from kvmatch_tpu.engine.rsm_dtw import QueryEngineDtw
 from kvmatch_tpu.engine.rsm_ed import QueryEngine
 from kvmatch_tpu.index.build import build_index_numpy
 
+pytestmark = pytest.mark.slow  # multi-minute XLA-compile-heavy; quick lane skips
+
+
 ENGINES = [
     (QueryEngine, {}),
     (QueryEngineDtw, {"rho": 20}),
