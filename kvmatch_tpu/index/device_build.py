@@ -14,21 +14,26 @@ start has exactly one mean bucket, the intervals of a scale TILE the position
 axis, so "group by bucket" is a histogram + rank, and "union adjacent rows"
 is run detection over the position-ordered stream.
 
-The variable-width row merge (IndexBuilder.java:308-346) is re-expressed
-TPU-natively: the reference scans keys descending and merges row k into an
-ACCUMULATED group when count_k < 1.2*avg and the accumulated union shrinks
-20%; here each key boundary decides INDEPENDENTLY from the pairwise test
+The variable-width row merge (IndexBuilder.java:308-346) runs as the
+reference's ACCUMULATING descending-key scan — but on the HOST, over row
+METADATA only (per-row interval counts + an adjacency-join histogram, a few
+hundred KB), between two device programs:
 
-    count_lo < merge_count_factor * avg   and
-    adjacency_joins(lo, hi) >= (1 - merge_shrink_factor) * (c_lo + c_hi)
+    stage A (device): RLE + bucket histogram + join histogram
+    host: _merge_scan -> grp_of_row            (O(rows), rows <= ~1e5)
+    stage B (device): apply grouping, segmented union + cap resplit, stats
 
-(adjacency_joins = position-adjacent interval pairs straddling the two rows =
-exactly the interval-count reduction their union would realize, ignoring the
-cap-resplit correction).  Decisions are embarrassingly parallel; connected
-merged boundaries form the same kind of variable-width rows.  The exact
-reference policy remains available through the host builder
-(index/build.py); engines are exact with either index (phase 2 confirms in
-float64 regardless of which rows fed phase 1).
+Round 3 decided each key boundary INDEPENDENTLY from a pairwise test; that
+policy CHAINS in the key-range tails (every sparse boundary passes, so whole
+tails collapse into one mega-row) which wrecked the planner's selectivity
+estimates and left the cNSM n=1e8 queries with 23.5M candidates (BENCH_r04
+run 1).  The accumulating scan stops chains exactly like the reference: the
+required union reduction is 20% of the RUNNING group size, so it grows as the
+group grows.  Union sizes are estimated from position-adjacent interval pairs
+whose rows are <= DMAX buckets apart (exact union would need the interval
+lists themselves); the estimate ignores the cap-resplit re-add, so merges can
+differ from the host builder's in edge cases — engines are exact with either
+index (phase 2 confirms in float64 regardless of which rows fed phase 1).
 
 Outputs stay DEVICE-RESIDENT as the position-sorted interval view
 (piece_left, piece_right, piece_row); only row metadata (keys, counts,
@@ -76,11 +81,22 @@ def _prefix_max(x, axis=0):
 GMAX = 1 << 17
 
 
+#: Max bucket distance between the rows of a position-adjacent interval pair
+#: counted by the join histogram.  Pairs further apart are dropped (union
+#: sizes get over-estimated, merges get rarer — conservative).
+DMAX = 8
+
+
 @functools.lru_cache(maxsize=1)
-def _scale_pipeline_jit():
+def _pipeline_a_jit():
     import jax
-    return jax.jit(_scale_pipeline,
-                   static_argnames=("cap", "count_factor", "shrink_factor"))
+    return jax.jit(_scale_pipeline_a, static_argnames=("cap",))
+
+
+@functools.lru_cache(maxsize=1)
+def _pipeline_b_jit():
+    import jax
+    return jax.jit(_scale_pipeline_b, static_argnames=("cap",))
 
 
 @functools.lru_cache(maxsize=None)
@@ -126,15 +142,14 @@ def _slice_prog(m: int, k: int):
 
 
 
-def _scale_pipeline(b, bucket_lo, n_valid, cap: int, count_factor: float,
-                    shrink_factor: float):
-    """One scale's full grouping pipeline on device.
+def _scale_pipeline_a(b, bucket_lo, n_valid, cap: int):
+    """Stage A: RLE + bucket histogram + adjacency-join histogram on device.
 
     b: i32[M] bucket ids, positions >= n_valid carry _SENT.
-    Returns (np_pieces, n_rows,
-             piece_left i32[M], piece_right i32[M], piece_row i32[M],
-             row_bucket i32[NB], row_n_iv i32[NB], row_n_off i32[NB])
-    with only the first np_pieces / n_rows entries meaningful.
+    Returns (n_iv, n_rows, row_bucket i32[GMAX], row_counts i32[GMAX],
+             joins i32[GMAX*DMAX], il i32[M], ir i32[M], r_iv i32[M]);
+    the first five cross to the host (a few hundred KB), the interval arrays
+    stay device-resident for stage B.
     """
     import jax.numpy as jnp
 
@@ -169,45 +184,79 @@ def _scale_pipeline(b, bucket_lo, n_valid, cap: int, count_factor: float,
                      -1)
     # compact per-row arrays (row index <- bucket)
     rdst = jnp.where(present, row_of_bucket, NB)
-    row_bucket0 = jnp.zeros(NB + 1, jnp.int32).at[rdst].set(
-        jnp.arange(NB, dtype=jnp.int32) + bucket_lo, mode="drop")[:NB]
-    row_counts = jnp.zeros(NB + 1, jnp.int32).at[rdst].set(hist,
-                                                           mode="drop")[:NB]
+    row_bucket = jnp.zeros(NB + 1, jnp.int32).at[rdst].set(
+        jnp.arange(NB, dtype=jnp.int32) + bucket_lo, mode="drop")[:GMAX]
+    row_counts = jnp.zeros(NB + 1, jnp.int32).at[rdst].set(
+        hist, mode="drop")[:GMAX]
 
-    # --- boundary-local merge policy --------------------------------------
-    # adjacency joins between key-adjacent rows: consecutive intervals are
-    # always position-adjacent (the buckets tile the axis), so a pair (i, i+1)
-    # whose rows differ by exactly 1 is a union join for the lower row's
-    # boundary.
+    # --- adjacency-join histogram ------------------------------------------
+    # The buckets tile the position axis, so consecutive intervals are always
+    # position-adjacent; a pair (i, i+1) whose rows differ by delta in
+    # [1, DMAX] is a union join charged to (min_row, delta).
     r_next = jnp.concatenate([r_iv[1:], jnp.full(1, -1, jnp.int32)])
-    pair_ok = iv_ok & (jnp.arange(M) < n_iv - 1) & \
-        (jnp.abs(r_next - r_iv) == 1) & (il[jnp.minimum(
-            jnp.arange(M) + 1, M - 1)] == ir + 1)
-    bnd = jnp.where(pair_ok, jnp.minimum(r_iv, r_next), NB)
-    joins = jnp.zeros(NB + 1, jnp.int32).at[bnd].add(1, mode="drop")[:NB]
-    avg = n_iv.astype(jnp.float32) / jnp.maximum(n_rows, 1).astype(jnp.float32)
-    c_lo = row_counts.astype(jnp.float32)
-    c_hi = jnp.concatenate([row_counts[1:], jnp.zeros(1, jnp.int32)]
-                           ).astype(jnp.float32)
-    merge_b = ((jnp.arange(NB) < n_rows - 1)
-               & (c_lo < jnp.float32(count_factor) * avg)
-               & (joins.astype(jnp.float32)
-                  >= jnp.float32(1.0 - shrink_factor) * (c_lo + c_hi)))
-    # group id per row: increments at unmerged boundaries (ascending scan)
-    grp_of_row = jnp.cumsum(
-        jnp.concatenate([jnp.zeros(1, jnp.int32),
-                         (~merge_b[:-1]).astype(jnp.int32)]))
-    n_groups = jnp.where(n_rows > 0, grp_of_row[jnp.maximum(n_rows - 1, 0)] + 1,
-                         0)
-    # group key = smallest bucket in the group = first row's bucket
-    gfirst = jnp.concatenate([jnp.ones(1, bool), grp_of_row[1:]
-                              != grp_of_row[:-1]]) & (jnp.arange(NB) < n_rows)
-    gdst = jnp.where(gfirst, grp_of_row, NB)
-    grp_bucket = jnp.zeros(NB + 1, jnp.int32).at[gdst].set(row_bucket0,
-                                                           mode="drop")[:NB]
+    delta = jnp.abs(r_next - r_iv)
+    pair_ok = iv_ok & (jnp.arange(M) < n_iv - 1) & (delta >= 1) & (delta <= DMAX)
+    jdst = jnp.where(pair_ok,
+                     jnp.minimum(r_iv, r_next) * DMAX + (delta - 1),
+                     GMAX * DMAX)
+    joins = jnp.zeros(GMAX * DMAX + 1, jnp.int32).at[jdst].add(
+        1, mode="drop")[:GMAX * DMAX]
+    return n_iv, n_rows, row_bucket, row_counts, joins, il, ir, r_iv
+
+
+def _merge_scan(counts: np.ndarray, joins: np.ndarray, count_factor: float,
+                shrink_factor: float):
+    """The reference's accumulating row merge (IndexBuilder.java:308-346) on
+    row metadata: descending-key scan; row idx merges into the RUNNING group
+    when its interval count < count_factor*avg and the estimated union size
+    (parts sum minus adjacency joins into the group) shrinks below
+    shrink_factor*(parts sum).  ``joins[r, d-1]`` counts position-adjacent
+    interval pairs between rows r and r+d.  Returns (grp_of_row i64[R],
+    n_groups); group ids ascend with key order and each group's key is its
+    first row's bucket."""
+    R = int(counts.size)
+    if R == 0:
+        return np.zeros(0, np.int64), 0
+    thresh = count_factor * float(counts.mean())
+    shrink = float(shrink_factor)
+    merge_up = np.zeros(R, bool)        # row idx joins the group of row idx+1
+    joins_f = joins.astype(np.float64, copy=False)
+    counts_f = counts.astype(np.float64, copy=False)
+    top = R - 1
+    acc = counts_f[R - 1]
+    for idx in range(R - 2, -1, -1):
+        c = counts_f[idx]
+        if c < thresh:
+            d = top - idx
+            j = joins_f[idx, :d].sum() if d < DMAX else joins_f[idx].sum()
+            union = acc + c - j
+            if union < shrink * (acc + c):
+                acc = union
+                merge_up[idx] = True
+                continue
+        top = idx
+        acc = c
+    grp = np.zeros(R, np.int64)
+    np.cumsum(~merge_up[:-1], out=grp[1:])
+    return grp, int(grp[-1]) + 1
+
+
+def _scale_pipeline_b(il, ir, r_iv, n_iv, grp_of_row, cap: int):
+    """Stage B: apply the host grouping, segmented union + cap resplit, and
+    per-group statistics on device.
+
+    il/ir/r_iv: stage-A interval arrays (i32[M], first n_iv valid).
+    grp_of_row: i32[GMAX] host-computed group id per row (ascending).
+    Returns (np_pieces, piece_left i32[M], piece_right i32[M],
+             piece_row i32[M], g_n_iv i32[GMAX], g_n_off i32[GMAX]).
+    """
+    import jax.numpy as jnp
+
+    M = il.shape[0]
+    iv_ok = jnp.arange(M) < n_iv
 
     # --- segmented union + cap resplit -------------------------------------
-    g_iv = jnp.where(iv_ok, grp_of_row[jnp.clip(r_iv, 0, NB - 1)], -1)
+    g_iv = jnp.where(iv_ok, grp_of_row[jnp.clip(r_iv, 0, GMAX - 1)], -1)
     g_prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), g_iv[:-1]])
     il_prev = jnp.concatenate([jnp.full(1, -9, jnp.int32), ir[:-1]])
     ustart = iv_ok & ((g_iv != g_prev) | (il != il_prev + 1))
@@ -255,19 +304,18 @@ def _scale_pipeline(b, bucket_lo, n_valid, cap: int, count_factor: float,
     p_row = jnp.where(p_ok, _fill(rung), -1)
 
     # --- per-group statistics ---------------------------------------------
-    sdst = jnp.where(p_ok, p_row, NB)
-    g_n_iv = jnp.zeros(NB + 1, jnp.int32).at[sdst].add(1, mode="drop")[:NB]
-    g_n_off = jnp.zeros(NB + 1, jnp.int32).at[sdst].add(
-        p_right - p_left + 1, mode="drop")[:NB]
+    sdst = jnp.where(p_ok, p_row, GMAX)
+    g_n_iv = jnp.zeros(GMAX + 1, jnp.int32).at[sdst].add(1, mode="drop")[:GMAX]
+    g_n_off = jnp.zeros(GMAX + 1, jnp.int32).at[sdst].add(
+        p_right - p_left + 1, mode="drop")[:GMAX]
 
-    return (np_pieces, n_groups, p_left, p_right, p_row,
-            grp_bucket, g_n_iv, g_n_off)
+    return np_pieces, p_left, p_right, p_row, g_n_iv, g_n_off
 
 
 def _numpy_twin_scale(b: np.ndarray, cap: int, count_factor: float,
                       shrink_factor: float):
-    """Host mirror of _scale_pipeline (the semantics reference for tests).
-    Takes the raw bucket array (no padding); returns
+    """Host mirror of stage A + _merge_scan + stage B (the semantics
+    reference for tests).  Takes the raw bucket array (no padding); returns
     (p_left, p_right, p_row, grp_bucket, g_n_iv, g_n_off)."""
     m = b.size
     pos = np.arange(m)
@@ -279,20 +327,12 @@ def _numpy_twin_scale(b: np.ndarray, cap: int, count_factor: float,
     ib = b[il]
     ub, r_iv, counts = np.unique(ib, return_inverse=True, return_counts=True)
     R = ub.size
-    joins = np.zeros(R, np.int64)
+    joins = np.zeros((R, DMAX), np.int64)
     dj = np.abs(np.diff(r_iv))
     lo = np.minimum(r_iv[:-1], r_iv[1:])
-    np.add.at(joins, lo[dj == 1], 1)
-    # float32 decision arithmetic, mirroring the device kernel bit-for-bit
-    avg = np.float32(il.size) / np.float32(max(R, 1))
-    c_lo = counts.astype(np.float32)
-    c_hi = np.concatenate([counts[1:], [0]]).astype(np.float32)
-    merge_b = np.zeros(R, bool)
-    if R > 1:
-        merge_b[:-1] = (c_lo[:-1] < np.float32(count_factor) * avg) & \
-            (joins[:-1].astype(np.float32)
-             >= np.float32(1.0 - shrink_factor) * (c_lo[:-1] + c_hi[:-1]))
-    grp = np.concatenate(([0], np.cumsum(~merge_b[:-1]))).astype(np.int64)
+    ok = (dj >= 1) & (dj <= DMAX)
+    np.add.at(joins, (lo[ok], dj[ok] - 1), 1)
+    grp, _ = _merge_scan(counts, joins, count_factor, shrink_factor)
     gfirst = np.concatenate(([True], grp[1:] != grp[:-1]))
     grp_bucket = ub[gfirst]
     g_iv = grp[r_iv]
@@ -361,58 +401,91 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
     data_dev = jnp.asarray(data, jnp.float32)
     M = n - u + 1
 
-    # Dispatch per scale WITHOUT host syncs (jax is async — the programs
-    # queue back-to-back on the device) unless spilling, where each scale is
-    # pulled (and its device buffers freed) before the next dispatch.  Each
-    # scale's bucket array is computed by its own small program and dropped
-    # as soon as the pipeline consumes it; the pipeline executable is shared
-    # by all scales (one padded shape M).
-    pending = {}
-    spilled = {}
-    t_dev = t_d2h = 0.0
-    for w in scales:
-        t1 = time.perf_counter()
+    def _stage_a(w):
         b = _bucket_prog(w, u, cfg.pos_of_d)(data_dev)
-        out = _scale_pipeline_jit()(b, jnp.int32(bucket_lo),
-                                    jnp.int32(n - w + 1),
-                                    cap, cfg.merge_count_factor,
-                                    cfg.merge_shrink_factor)
+        a = _pipeline_a_jit()(b, jnp.int32(bucket_lo), jnp.int32(n - w + 1),
+                              cap)
         del b
-        if spill:
-            meta_w = jax.device_get((out[0], out[1], out[5][:GMAX],
-                                     out[6][:GMAX], out[7][:GMAX]))
+        return a
+
+    def _host_merge(meta_a, w):
+        """(n_iv, n_rows, row_bucket, row_counts, joins) -> per-scale rows."""
+        n_rows = int(meta_a[1])
+        if n_rows > GMAX:
+            raise ValueError(f"scale w={w}: {n_rows} rows exceed GMAX")
+        row_bucket = meta_a[2][:n_rows].astype(np.int64)
+        counts = meta_a[3][:n_rows].astype(np.int64)
+        joins = meta_a[4].reshape(GMAX, DMAX)[:n_rows]
+        grp, n_groups = _merge_scan(counts, joins, cfg.merge_count_factor,
+                                    cfg.merge_shrink_factor)
+        gfirst = np.concatenate(([True], grp[1:] != grp[:-1])) if n_rows \
+            else np.zeros(0, bool)
+        grp_bucket = row_bucket[gfirst]
+        pad = np.zeros(GMAX, np.int32)
+        pad[:n_rows] = grp
+        max_bucket = int(row_bucket[-1]) if n_rows else 0
+        return pad, n_groups, grp_bucket, max_bucket
+
+    def _stage_b(a, grp_pad):
+        return _pipeline_b_jit()(a[5], a[6], a[7], a[0],
+                                 jnp.asarray(grp_pad), cap)
+
+    # Per scale: stage A on device -> tiny meta pull -> host accumulating
+    # merge -> stage B on device.  Non-spill dispatches all A programs before
+    # the first pull (they queue back-to-back; the pulls then overlap the
+    # later scales' compute); spill runs scale-at-a-time and pulls each
+    # scale's (device-sliced) piece arrays before the next dispatch, bounding
+    # peak HBM to one pipeline's working set regardless of n.
+    t_dev = t_d2h = t_host = 0.0
+    rowmeta = {}
+    pending_b = {}
+    spilled = {}
+    if not spill:
+        pend_a = {w: _stage_a(w) for w in scales}
+        meta_a = jax.device_get({w: a[:5] for w, a in pend_a.items()})
+        for w in scales:
+            t1 = time.perf_counter()
+            rowmeta[w] = _host_merge(meta_a[w], w)
+            t_host += time.perf_counter() - t1
+            pending_b[w] = _stage_b(pend_a[w], rowmeta[w][0])
+            del pend_a[w]
+        meta_b = jax.device_get({w: (o[0], o[4][:GMAX], o[5][:GMAX])
+                                 for w, o in pending_b.items()})
+    else:
+        meta_b = {}
+        for w in scales:
+            t1 = time.perf_counter()
+            a = _stage_a(w)
+            ma = jax.device_get(a[:5])
             t2 = time.perf_counter()
             t_dev += t2 - t1
-            np_pieces = int(meta_w[0])
+            rowmeta[w] = _host_merge(ma, w)
+            t3 = time.perf_counter()
+            t_host += t3 - t2
+            ob = _stage_b(a, rowmeta[w][0])
+            del a
+            mb = jax.device_get((ob[0], ob[4][:GMAX], ob[5][:GMAX]))
+            t4 = time.perf_counter()
+            t_dev += t4 - t3
+            meta_b[w] = mb
+            np_pieces = int(mb[0])
             k = min(M, -(-max(np_pieces, 1) // _SLICE_Q) * _SLICE_Q)
-            sl = _slice_prog(M, k)(out[2], out[3], out[4])
+            sl = _slice_prog(M, k)(ob[1], ob[2], ob[3])
             pieces_w = jax.device_get(sl)
-            del sl, out
-            t_d2h += time.perf_counter() - t2
-            spilled[w] = (meta_w, tuple(p[:np_pieces] for p in pieces_w))
-        else:
-            pending[w] = out
-    if not spill:
-        meta = jax.device_get({w: (o[0], o[1], o[5][:GMAX], o[6][:GMAX],
-                                   o[7][:GMAX]) for w, o in pending.items()})
-    else:
-        meta = {w: m for w, (m, _) in spilled.items()}
+            del sl, ob
+            t_d2h += time.perf_counter() - t4
+            spilled[w] = tuple(p[:np_pieces] for p in pieces_w)
 
     index: Index = {}
-    t_host = 0.0
     for w in scales:
-        np_pieces, n_groups = int(meta[w][0]), int(meta[w][1])
-        if n_groups > GMAX:
-            raise ValueError(f"scale w={w}: {n_groups} rows exceed GMAX")
-        grp_bucket = meta[w][2][:n_groups]
-        g_n_iv = meta[w][3][:n_groups].astype(np.int64)
-        g_n_off = meta[w][4][:n_groups].astype(np.int64)
-        keys = rounding.bucket_to_key(grp_bucket.astype(np.int64),
-                                      cfg.pos_of_d)
+        np_pieces = int(meta_b[w][0])
+        grp_pad, n_groups, grp_bucket, max_bucket = rowmeta[w]
+        g_n_iv = meta_b[w][1][:n_groups].astype(np.int64)
+        g_n_off = meta_b[w][2][:n_groups].astype(np.int64)
+        keys = rounding.bucket_to_key(grp_bucket, cfg.pos_of_d)
         row_ptr = np.zeros(n_groups + 1, np.int64)
         np.cumsum(g_n_iv, out=row_ptr[1:])
-        upper = float(rounding.bucket_to_key(int(grp_bucket[-1]) + 1,
-                                             cfg.pos_of_d)) \
+        upper = float(rounding.bucket_to_key(max_bucket + 1, cfg.pos_of_d)) \
             if n_groups else float("inf")
         sc = IndexScale(
             w=w, n=n, keys=keys, row_ptr=row_ptr,
@@ -420,11 +493,12 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
             cum_intervals=np.cumsum(g_n_iv), cum_offsets=np.cumsum(g_n_off),
             mean_upper_bound=upper,
             dev_pos_view=None if spill
-            else (pending[w][2], pending[w][3], pending[w][4], np_pieces),
+            else (pending_b[w][1], pending_b[w][2], pending_b[w][3],
+                  np_pieces),
         )
         if spill:
             t1 = time.perf_counter()
-            sc.set_pos_arrays(*spilled[w][1])
+            sc.set_pos_arrays(*spilled[w])
             t_host += time.perf_counter() - t1
         elif not keep_device:
             sc.materialize_host()

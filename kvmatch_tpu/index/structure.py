@@ -159,37 +159,38 @@ class IndexScale:
         return meta + 12 * self.num_intervals
 
     def counts_between(self, begin_round: float, end_round: float) -> Tuple[int, int]:
-        """(#intervals, #offsets) in rows with begin_round <= key <= end_round,
-        using the cumulative meta arrays exactly like getCountsFromStatisticInfo
-        (QueryEngine.java:382-402)."""
-        keys = self.keys
-        if keys.size == 0:
-            return 0, 0
-        i0 = int(np.searchsorted(keys, begin_round, side="left"))
-        i0 = min(i0, keys.size - 1)
-        lo_i = int(self.cum_intervals[i0 - 1]) if i0 > 0 else 0
-        lo_o = int(self.cum_offsets[i0 - 1]) if i0 > 0 else 0
-        i1 = int(np.searchsorted(keys, end_round, side="left"))
-        i1 = min(i1, keys.size - 1)
-        hi_i = int(self.cum_intervals[i1]) if i1 > 0 else 0
-        hi_o = int(self.cum_offsets[i1]) if i1 > 0 else 0
-        return hi_i - lo_i, hi_o - lo_o
+        """(#intervals, #offsets) the probe for range [begin_round, end_round]
+        will actually touch (the reference estimates this from its cumulative
+        meta table, getCountsFromStatisticInfo, QueryEngine.java:382-402).
+
+        Rows are variable-width: row j covers keys [keys[j], keys[j+1]), so
+        the probe snaps ``begin`` DOWN to the key of its containing row and
+        scans rows j0..j1 inclusive.  The planner MUST count that containing
+        row too — in sparse key-range tails it can hold thousands of
+        intervals, and excluding it made the DP rank tail-landing segments as
+        nearly free (the round-4 cNSM n=1e8 23.5M-candidate plan blowup)."""
+        i, o = self.counts_between_batch(np.atleast_1d(begin_round),
+                                         np.atleast_1d(end_round))
+        return int(i[0]), int(o[0])
 
     def counts_between_batch(self, begin_round: np.ndarray, end_round: np.ndarray
                              ) -> Tuple[np.ndarray, np.ndarray]:
         """Vectorized counts_between over arrays of probe bounds — feeds the
-        planner's whole cost table in a few searchsorted calls."""
+        planner's whole cost table in a few searchsorted calls.  Mirrors
+        probe_rows(snap_down(begin), end): rows j0..j1 inclusive where j0 is
+        the row containing begin (0 when begin precedes all keys) and j1 the
+        last row with key <= end."""
         keys = self.keys
         if keys.size == 0:
             z = np.zeros(np.shape(begin_round), np.int64)
             return z, z
-        i0 = np.minimum(np.searchsorted(keys, begin_round, side="left"), keys.size - 1)
-        lo_i = np.where(i0 > 0, self.cum_intervals[np.maximum(i0 - 1, 0)], 0)
-        lo_o = np.where(i0 > 0, self.cum_offsets[np.maximum(i0 - 1, 0)], 0)
-        i1 = np.minimum(np.searchsorted(keys, end_round, side="left"), keys.size - 1)
-        hi_i = np.where(i1 > 0, self.cum_intervals[i1], 0)
-        hi_o = np.where(i1 > 0, self.cum_offsets[i1], 0)
-        return hi_i - lo_i, hi_o - lo_o
+        j0 = np.maximum(np.searchsorted(keys, begin_round, side="right") - 1, 0)
+        j1 = np.searchsorted(keys, end_round, side="right") - 1
+        lo_i = np.where(j0 > 0, self.cum_intervals[np.maximum(j0 - 1, 0)], 0)
+        lo_o = np.where(j0 > 0, self.cum_offsets[np.maximum(j0 - 1, 0)], 0)
+        hi_i = np.where(j1 >= 0, self.cum_intervals[np.maximum(j1, 0)], 0)
+        hi_o = np.where(j1 >= 0, self.cum_offsets[np.maximum(j1, 0)], 0)
+        return np.maximum(hi_i - lo_i, 0), np.maximum(hi_o - lo_o, 0)
 
     def probe_rows(self, begin_key: float, end_key: float) -> np.ndarray:
         """Indices of rows whose key lies in [begin_key, end_key] (inclusive).

@@ -30,20 +30,31 @@ def test_pipeline_matches_numpy_twin(data):
         b = np.asarray(buckets[w])
         lo = int(b.min()) - 1
         m = b.size
-        out = db._scale_pipeline_jit()(
-            jnp.asarray(b), jnp.int32(lo), jnp.int32(m), cap,
-            cfg.merge_count_factor, cfg.merge_shrink_factor)
-        np_pieces, n_rows = int(out[0]), int(out[1])
-        p_l = np.asarray(out[2])[:np_pieces]
-        p_r = np.asarray(out[3])[:np_pieces]
-        p_row = np.asarray(out[4])[:np_pieces]
-        gb = np.asarray(out[5])[:n_rows]
-        g_iv = np.asarray(out[6])[:n_rows]
-        g_off = np.asarray(out[7])[:n_rows]
+        a = db._pipeline_a_jit()(jnp.asarray(b), jnp.int32(lo), jnp.int32(m),
+                                 cap)
+        ma = [np.asarray(x) for x in a[:5]]
+        n_rows = int(ma[1])
+        # host merge over the pulled metadata (the same path build uses)
+        counts = ma[3][:n_rows].astype(np.int64)
+        joins = ma[4].reshape(db.GMAX, db.DMAX)[:n_rows]
+        grp, n_groups = db._merge_scan(counts, joins, cfg.merge_count_factor,
+                                       cfg.merge_shrink_factor)
+        row_bucket = ma[2][:n_rows].astype(np.int64)
+        gb = row_bucket[np.concatenate(([True], grp[1:] != grp[:-1]))]
+        pad = np.zeros(db.GMAX, np.int32)
+        pad[:n_rows] = grp
+        out = db._pipeline_b_jit()(a[5], a[6], a[7], a[0], jnp.asarray(pad),
+                                   cap)
+        np_pieces = int(out[0])
+        p_l = np.asarray(out[1])[:np_pieces]
+        p_r = np.asarray(out[2])[:np_pieces]
+        p_row = np.asarray(out[3])[:np_pieces]
+        g_iv = np.asarray(out[4])[:n_groups]
+        g_off = np.asarray(out[5])[:n_groups]
 
         tl, tr, trow, tgb, tg_iv, tg_off = db._numpy_twin_scale(
             b, cap, cfg.merge_count_factor, cfg.merge_shrink_factor)
-        assert np_pieces == tl.size and n_rows == tgb.size, w
+        assert np_pieces == tl.size and n_groups == tgb.size, w
         assert np.array_equal(p_l, tl), w
         assert np.array_equal(p_r, tr), w
         assert np.array_equal(p_row, trow), w
