@@ -157,6 +157,13 @@ class QueryConfig:
     # cascade is purely a prefilter (DtwUtils.java:149-257), so skipping it
     # never changes the answer set.  Set to 0 to always run the cascade.
     dtw_skip_lb_max: int = 2048
+    # Host-only engines (device_data='host') multiply the phase-2 cost
+    # slope by this factor: the host verify route (sparse-prefix prefilter +
+    # exact f64 kernels) costs ~25x the device kernels per offset, and
+    # under-estimating it makes early termination quit while probing is
+    # still the cheaper move (measured: a 1M-candidate leftover costs ~1.1 s
+    # host vs the 41 ms the device slope predicts at n=1e7, L=8192).
+    host_cost_scale: float = 25.0
     # Guard band for exact host re-verification of device f32 distances: offsets with
     # |d^2 - eps^2| <= guard * eps^2 (relative) are re-checked in float64 on host, which
     # makes the final answer set exact while keeping the heavy compute on TPU.

@@ -619,6 +619,18 @@ class BaseEngine:
         last_estimate = float("inf")
         cost_a = qcfg.phase2_cost_a_dtw if self.use_dtw_cost_model else qcfg.phase2_cost_a
         cost_b = qcfg.phase2_cost_b_dtw if self.use_dtw_cost_model else qcfg.phase2_cost_b
+        if self.host_only:
+            # tpu_tuned's per-offset slopes are calibrated for the DEVICE
+            # verify kernels; the host-only route verifies through the
+            # sparse-prefix prefilters + exact f64 kernels at roughly 25x the
+            # per-offset cost (measured n=1e7: 1M leftover candidates cost
+            # ~1.1 s host vs the ~41 ms the device slope predicts).  Scaling
+            # the estimate keeps early termination probing further before
+            # handing a flood to the slow route; with the reference default
+            # constants (already host-calibrated) this is a no-op-ish
+            # overestimate that only delays termination, never unsoundness
+            # (phase 2 is exact either way).
+            cost_b *= qcfg.host_cost_scale
 
         est2_now = float("inf")  # phase-2 estimate of the CURRENT cs
         for i, seg in enumerate(segments):
