@@ -31,9 +31,12 @@ run 1).  The accumulating scan stops chains exactly like the reference: the
 required union reduction is 20% of the RUNNING group size, so it grows as the
 group grows.  Union sizes are estimated from position-adjacent interval pairs
 whose rows are <= DMAX buckets apart (exact union would need the interval
-lists themselves); the estimate ignores the cap-resplit re-add, so merges can
-differ from the host builder's in edge cases — engines are exact with either
-index (phase 2 confirms in float64 regardless of which rows fed phase 1).
+lists themselves), bounded below by the cap-resplit floor
+ceil(group_offsets/256) — without the floor the estimate sits flat in the
+key-range tails, where joins ~= counts, and absorbs entire tails into
+mega-rows (see _merge_scan).  Merges can still differ from the host
+builder's in edge cases — engines are exact with either index (phase 2
+confirms in float64 regardless of which rows fed phase 1).
 
 Outputs stay DEVICE-RESIDENT as the position-sorted interval view
 (piece_left, piece_right, piece_row); only row metadata (keys, counts,
@@ -147,8 +150,9 @@ def _scale_pipeline_a(b, bucket_lo, n_valid, cap: int):
 
     b: i32[M] bucket ids, positions >= n_valid carry _SENT.
     Returns (n_iv, n_rows, row_bucket i32[GMAX], row_counts i32[GMAX],
-             joins i32[GMAX*DMAX], il i32[M], ir i32[M], r_iv i32[M]);
-    the first five cross to the host (a few hundred KB), the interval arrays
+             row_offs i32[GMAX], joins i32[GMAX*DMAX],
+             il i32[M], ir i32[M], r_iv i32[M]);
+    the first six cross to the host (a few hundred KB), the interval arrays
     stay device-resident for stage B.
     """
     import jax.numpy as jnp
@@ -188,6 +192,11 @@ def _scale_pipeline_a(b, bucket_lo, n_valid, cap: int):
         jnp.arange(NB, dtype=jnp.int32) + bucket_lo, mode="drop")[:GMAX]
     row_counts = jnp.zeros(NB + 1, jnp.int32).at[rdst].set(
         hist, mode="drop")[:GMAX]
+    # per-row OFFSET totals (sum of piece lengths) — the merge scan's
+    # cap-resplit floor needs them (see _merge_scan)
+    odst = jnp.where(iv_ok, jnp.clip(r_iv, 0, GMAX - 1), GMAX)
+    row_offs = jnp.zeros(GMAX + 1, jnp.int32).at[odst].add(
+        jnp.where(iv_ok, ir - il + 1, 0), mode="drop")[:GMAX]
 
     # --- adjacency-join histogram ------------------------------------------
     # The buckets tile the position axis, so consecutive intervals are always
@@ -201,19 +210,33 @@ def _scale_pipeline_a(b, bucket_lo, n_valid, cap: int):
                      GMAX * DMAX)
     joins = jnp.zeros(GMAX * DMAX + 1, jnp.int32).at[jdst].add(
         1, mode="drop")[:GMAX * DMAX]
-    return n_iv, n_rows, row_bucket, row_counts, joins, il, ir, r_iv
+    return (n_iv, n_rows, row_bucket, row_counts, row_offs, joins,
+            il, ir, r_iv)
 
 
-def _merge_scan(counts: np.ndarray, joins: np.ndarray, count_factor: float,
-                shrink_factor: float):
+def _merge_scan(counts: np.ndarray, offs: np.ndarray, joins: np.ndarray,
+                count_factor: float, shrink_factor: float, cap: int):
     """The reference's accumulating row merge (IndexBuilder.java:308-346) on
     row metadata: descending-key scan; row idx merges into the RUNNING group
     when its interval count < count_factor*avg and the estimated union size
-    (parts sum minus adjacency joins into the group) shrinks below
-    shrink_factor*(parts sum).  ``joins[r, d-1]`` counts position-adjacent
-    interval pairs between rows r and r+d.  Returns (grp_of_row i64[R],
-    n_groups); group ids ascend with key order and each group's key is its
-    first row's bucket."""
+    shrinks below shrink_factor*(parts sum).  ``joins[r, d-1]`` counts
+    position-adjacent interval pairs between rows r and r+d; ``offs[r]`` is
+    row r's total offsets (sum of piece lengths).
+
+    The union estimate is  max(parts - joins, ceil(group_offsets / cap)).
+    The join term alone collapses key-range tails: there, nearly every piece
+    is position-adjacent to a piece of a nearby row (joins ~= counts), so the
+    estimate stays flat while the true union — long coalesced runs RE-SPLIT
+    at the 256-offset cap (IndexNodeUtils.mergeIndexNode) — keeps growing
+    with the group.  ceil(group_offsets/cap) is a hard lower bound on the
+    capped union (disjoint runs: sum of ceils >= ceil of sum), tight exactly
+    in that coalesced-tail regime, and inert in the key-range center where
+    runs are far shorter than the cap (measured n=1e8 w=25: the uncorrected
+    estimate sat at ~85 pieces while absorbing 9552 rows / 3.85M offsets into
+    one mega-row; the host's exact union is ~15k pieces and stops the chain).
+
+    Returns (grp_of_row i64[R], n_groups); group ids ascend with key order
+    and each group's key is its first row's bucket."""
     R = int(counts.size)
     if R == 0:
         return np.zeros(0, np.int64), 0
@@ -222,20 +245,25 @@ def _merge_scan(counts: np.ndarray, joins: np.ndarray, count_factor: float,
     merge_up = np.zeros(R, bool)        # row idx joins the group of row idx+1
     joins_f = joins.astype(np.float64, copy=False)
     counts_f = counts.astype(np.float64, copy=False)
+    offs_f = offs.astype(np.float64, copy=False)
     top = R - 1
     acc = counts_f[R - 1]
+    acc_off = offs_f[R - 1]
     for idx in range(R - 2, -1, -1):
         c = counts_f[idx]
         if c < thresh:
             d = top - idx
             j = joins_f[idx, :d].sum() if d < DMAX else joins_f[idx].sum()
-            union = acc + c - j
+            floor = np.ceil((acc_off + offs_f[idx]) / cap)
+            union = max(acc + c - j, floor)
             if union < shrink * (acc + c):
                 acc = union
+                acc_off += offs_f[idx]
                 merge_up[idx] = True
                 continue
         top = idx
         acc = c
+        acc_off = offs_f[idx]
     grp = np.zeros(R, np.int64)
     np.cumsum(~merge_up[:-1], out=grp[1:])
     return grp, int(grp[-1]) + 1
@@ -332,7 +360,10 @@ def _numpy_twin_scale(b: np.ndarray, cap: int, count_factor: float,
     lo = np.minimum(r_iv[:-1], r_iv[1:])
     ok = (dj >= 1) & (dj <= DMAX)
     np.add.at(joins, (lo[ok], dj[ok] - 1), 1)
-    grp, _ = _merge_scan(counts, joins, count_factor, shrink_factor)
+    offs = np.zeros(R, np.int64)
+    np.add.at(offs, r_iv, ir - il + 1)
+    grp, _ = _merge_scan(counts, offs, joins, count_factor, shrink_factor,
+                         cap)
     gfirst = np.concatenate(([True], grp[1:] != grp[:-1]))
     grp_bucket = ub[gfirst]
     g_iv = grp[r_iv]
@@ -409,15 +440,18 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         return a
 
     def _host_merge(meta_a, w):
-        """(n_iv, n_rows, row_bucket, row_counts, joins) -> per-scale rows."""
+        """(n_iv, n_rows, row_bucket, row_counts, row_offs, joins) ->
+        per-scale rows."""
         n_rows = int(meta_a[1])
         if n_rows > GMAX:
             raise ValueError(f"scale w={w}: {n_rows} rows exceed GMAX")
         row_bucket = meta_a[2][:n_rows].astype(np.int64)
         counts = meta_a[3][:n_rows].astype(np.int64)
-        joins = meta_a[4].reshape(GMAX, DMAX)[:n_rows]
-        grp, n_groups = _merge_scan(counts, joins, cfg.merge_count_factor,
-                                    cfg.merge_shrink_factor)
+        row_offs = meta_a[4][:n_rows].astype(np.int64)
+        joins = meta_a[5].reshape(GMAX, DMAX)[:n_rows]
+        grp, n_groups = _merge_scan(counts, row_offs, joins,
+                                    cfg.merge_count_factor,
+                                    cfg.merge_shrink_factor, cap)
         gfirst = np.concatenate(([True], grp[1:] != grp[:-1])) if n_rows \
             else np.zeros(0, bool)
         grp_bucket = row_bucket[gfirst]
@@ -427,7 +461,7 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         return pad, n_groups, grp_bucket, max_bucket
 
     def _stage_b(a, grp_pad):
-        return _pipeline_b_jit()(a[5], a[6], a[7], a[0],
+        return _pipeline_b_jit()(a[6], a[7], a[8], a[0],
                                  jnp.asarray(grp_pad), cap)
 
     # Per scale: stage A on device -> tiny meta pull -> host accumulating
@@ -442,7 +476,7 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
     spilled = {}
     if not spill:
         pend_a = {w: _stage_a(w) for w in scales}
-        meta_a = jax.device_get({w: a[:5] for w, a in pend_a.items()})
+        meta_a = jax.device_get({w: a[:6] for w, a in pend_a.items()})
         for w in scales:
             t1 = time.perf_counter()
             rowmeta[w] = _host_merge(meta_a[w], w)
@@ -456,7 +490,7 @@ def build_index_device(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
         for w in scales:
             t1 = time.perf_counter()
             a = _stage_a(w)
-            ma = jax.device_get(a[:5])
+            ma = jax.device_get(a[:6])
             t2 = time.perf_counter()
             t_dev += t2 - t1
             rowmeta[w] = _host_merge(ma, w)

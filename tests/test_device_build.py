@@ -32,18 +32,20 @@ def test_pipeline_matches_numpy_twin(data):
         m = b.size
         a = db._pipeline_a_jit()(jnp.asarray(b), jnp.int32(lo), jnp.int32(m),
                                  cap)
-        ma = [np.asarray(x) for x in a[:5]]
+        ma = [np.asarray(x) for x in a[:6]]
         n_rows = int(ma[1])
         # host merge over the pulled metadata (the same path build uses)
         counts = ma[3][:n_rows].astype(np.int64)
-        joins = ma[4].reshape(db.GMAX, db.DMAX)[:n_rows]
-        grp, n_groups = db._merge_scan(counts, joins, cfg.merge_count_factor,
-                                       cfg.merge_shrink_factor)
+        row_offs = ma[4][:n_rows].astype(np.int64)
+        joins = ma[5].reshape(db.GMAX, db.DMAX)[:n_rows]
+        grp, n_groups = db._merge_scan(counts, row_offs, joins,
+                                       cfg.merge_count_factor,
+                                       cfg.merge_shrink_factor, cap)
         row_bucket = ma[2][:n_rows].astype(np.int64)
         gb = row_bucket[np.concatenate(([True], grp[1:] != grp[:-1]))]
         pad = np.zeros(db.GMAX, np.int32)
         pad[:n_rows] = grp
-        out = db._pipeline_b_jit()(a[5], a[6], a[7], a[0], jnp.asarray(pad),
+        out = db._pipeline_b_jit()(a[6], a[7], a[8], a[0], jnp.asarray(pad),
                                    cap)
         np_pieces = int(out[0])
         p_l = np.asarray(out[1])[:np_pieces]
