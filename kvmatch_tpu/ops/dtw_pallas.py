@@ -166,7 +166,10 @@ def _diag_tile_rows_for(ae_len: int, qe_len: int, W_pad: int) -> int:
     budget = 12 * 1024 * 1024
     per_row = 4 * (2 * (ae_len + qe_len) + 8 * W_pad)
     bt = budget // max(per_row, 1)
-    bt = max(8, min(512, (bt // 8) * 8))
+    # <=256: the three-phase loop body (edge/mid/edge) keeps ~3 unrolled
+    # 128-step bodies of (BT, W_pad) temporaries on Mosaic's scoped-vmem
+    # stack; at BT=512 that alone is ~32 MB (measured probe OOM).
+    bt = max(8, min(256, (bt // 8) * 8))
     return bt
 
 
@@ -198,65 +201,96 @@ def _dtw_diag_kernel(L: int, r: int, W_pad: int, PA: int, PQ: int):
     def kernel(ae_ref, qe_ref, out_ref, d1_ref, d2_ref):
         BT = ae_ref.shape[0]
         kvec = jax.lax.broadcasted_iota(jnp.int32, (BT, W_pad), 1)
-        d1_ref[:] = jnp.full((BT, W_pad), BIG, jnp.float32)
+        # Ping-pong carries: step s reads D_{s-1} from refs[(s+1)%2] and
+        # D_{s-2} from refs[s%2], then overwrites refs[s%2] with D_s — one
+        # full (BT, W_pad) VMEM copy per step cheaper than the shift pair
+        # (d2 <- d1; d1 <- D) the first version did.
+        refs = (d2_ref, d1_ref)          # refs[s%2] for s = 0, 1
+        d1_ref[:] = jnp.full((BT, W_pad), BIG, jnp.float32)   # D_{-1}
         # Boot via the s=-2 carry: at s=0 the only predecessor of the active
         # cell (0,0) at lane r is D2[r] = 0 (up/dn pull BIG lanes) — removes
         # the per-step `where(s == 0, ...)` select from all 2L-1 steps.
         d2_ref[:] = jnp.where(kvec == r, 0.0,
                               jnp.full((BT, W_pad), BIG, jnp.float32))
         nblk = -(-S // _ROW_BLK)
+        # Middle anti-diagonals r <= s <= 2L-1-r need no per-step range
+        # tests: lo clamps to 0 and hi to W-1 there, so lane validity is the
+        # CONSTANT in-band mask k < W (dead padding lanes must stay BIG or
+        # the two roll wrap-arounds would import garbage into lanes 0 and
+        # W-1).  Blocks fully inside that range run a body with zero scalar
+        # work and two fewer vector compares per step — ~87% of all steps at
+        # the headline shape (L=1024, rho=51).
+        band = kvec < W
 
-        def blk_body(blk, _):
-            s0 = blk * _ROW_BLK
+        def segs(blk):
             # aer block segment covers offsets (PA + C - s) for s in
-            # [s0, s0+127]: start = PA + C - 127 - s0 (128-aligned by PA).
-            a0 = pl.multiple_of(PA + C - (_ROW_BLK - 1) - s0, _ROW_BLK)
-            aseg = ae_ref[:, pl.ds(a0, W_pad + _ROW_BLK)]
-            # qe block segment covers offsets (PQ + s - r): start aligned.
-            q0 = pl.multiple_of(PQ + s0 - r, _ROW_BLK)
-            qseg = qe_ref[:, pl.ds(q0, W_pad + _ROW_BLK)]
+            # [blk*128, blk*128+127]: start 128-aligned by PA; qe likewise.
+            # Aligned DYNAMIC block slice + STATIC in-block slices — Mosaic's
+            # dynamic-slice bases must stay 128-aligned.
+            a0 = pl.multiple_of(PA + C - (_ROW_BLK - 1) - blk * _ROW_BLK,
+                                _ROW_BLK)
+            q0 = pl.multiple_of(PQ + blk * _ROW_BLK - r, _ROW_BLK)
+            return (ae_ref[:, pl.ds(a0, W_pad + _ROW_BLK)],
+                    qe_ref[:, pl.ds(q0, W_pad + _ROW_BLK)])
 
+        def step(aseg, qseg, t, valid):
+            # s % 2 == t % 2 (blocks are _ROW_BLK=128 steps, even), so the
+            # ping-pong role is the PYTHON-level unroll parity — no traced
+            # tuple indexing.
+            A = jax.lax.slice_in_dim(
+                aseg, _ROW_BLK - 1 - t, _ROW_BLK - 1 - t + W_pad, axis=1)
+            Qv = jax.lax.slice_in_dim(qseg, t, t + W_pad, axis=1)
+            d = (A - Qv) ** 2
+            D1 = refs[(t + 1) % 2][:]
+            # Dead lanes (k >= W) and out-of-range lanes hold BIG, so the
+            # roll wrap-arounds import BIG on their own — no edge fixup
+            # selects needed (W < W_pad always: W is odd).
+            up = pltpu.roll(D1, 1, 1)            # lane k <- D1[k-1]
+            dn = pltpu.roll(D1, W_pad - 1, 1)    # lane k <- D1[k+1]
+            M = jnp.minimum(jnp.minimum(up, dn), refs[t % 2][:])
+            # d + BIG == BIG exactly in f32 (d << 1e30 ulp), so the carry
+            # cannot drift upward across steps without a cap.
+            refs[t % 2][:] = jnp.where(valid, d + M, BIG)
+
+        def edge_body(blk, _):
+            aseg, qseg = segs(blk)
             for t in range(_ROW_BLK):
                 s = blk * _ROW_BLK + t
 
                 @pl.when(s < S)
                 def _():
-                    A = jax.lax.slice_in_dim(
-                        aseg, _ROW_BLK - 1 - t, _ROW_BLK - 1 - t + W_pad,
-                        axis=1)
-                    Qv = jax.lax.slice_in_dim(qseg, t, t + W_pad, axis=1)
                     # Lane validity needs only a [lo, hi] range test against
-                    # per-step SCALARS: k <= s+r and k > s+r-2L (i in range),
-                    # r-s <= k <= 2L-1+r-s (j in range), k <= 2r (in band).
-                    # The parity test ((s+r-k) even) is DROPPED on purpose:
-                    # rolls move values between adjacent lanes, which flips
-                    # parity in lockstep with s, so wrong-parity lanes form a
-                    # closed garbage computation that never feeds an active
-                    # lane; the final read at lane r on diagonal 2L-2 is
-                    # active-parity.  2 vector compares replace the 4-compare
-                    # + parity + band mask chain.
+                    # per-step SCALARS: k <= s+r and k > s+r-2L (i in
+                    # range), r-s <= k <= 2L-1+r-s (j in range), k <= 2r (in
+                    # band).  The parity test ((s+r-k) even) is DROPPED on
+                    # purpose: rolls move values between adjacent lanes,
+                    # which flips parity in lockstep with s, so wrong-parity
+                    # lanes form a closed garbage computation that never
+                    # feeds an active lane; the final read at lane r on
+                    # diagonal 2L-2 is active-parity.
                     lo = jnp.maximum(jnp.maximum(r - s, s + r - 2 * L + 1), 0)
                     hi = jnp.minimum(jnp.minimum(s + r, 2 * L - 1 + r - s),
                                      W - 1)
-                    valid = (kvec >= lo) & (kvec <= hi)
-                    d = (A - Qv) ** 2
-
-                    D1 = d1_ref[:]
-                    # Dead lanes (k >= W) and out-of-range lanes hold BIG, so
-                    # the roll wrap-arounds import BIG on their own — no edge
-                    # fixup selects needed (W < W_pad always: W is odd).
-                    up = pltpu.roll(D1, 1, 1)            # lane k <- D1[k-1]
-                    dn = pltpu.roll(D1, W_pad - 1, 1)    # lane k <- D1[k+1]
-                    M = jnp.minimum(jnp.minimum(up, dn), d2_ref[:])
-                    # d + BIG == BIG exactly in f32 (d << 1e30 ulp), so the
-                    # carry cannot drift upward across steps without a cap.
-                    D = jnp.where(valid, d + M, BIG)
-                    d2_ref[:] = D1
-                    d1_ref[:] = D
+                    step(aseg, qseg, t, (kvec >= lo) & (kvec <= hi))
             return 0
 
-        jax.lax.fori_loop(0, nblk, blk_body, 0)
-        out_ref[:] = jnp.broadcast_to(d1_ref[:, r][:, None], out_ref.shape)
+        def mid_body(blk, _):
+            aseg, qseg = segs(blk)
+            for t in range(_ROW_BLK):
+                step(aseg, qseg, t, band)
+            return 0
+
+        # Block b is "middle" iff all its steps exist (s < S) and satisfy
+        # r <= s <= 2L-1-r (lo/hi clamp to the constant band there).
+        smax = min(2 * L - 1 - r, S - 1)
+        mid_lo = min(-(-r // _ROW_BLK), nblk)
+        mid_hi = max((smax - _ROW_BLK + 1) // _ROW_BLK + 1, mid_lo)
+        mid_hi = min(mid_hi, nblk)
+        jax.lax.fori_loop(0, mid_lo, edge_body, 0)
+        jax.lax.fori_loop(mid_lo, mid_hi, mid_body, 0)
+        jax.lax.fori_loop(mid_hi, nblk, edge_body, 0)
+        final = refs[(S - 1) % 2]
+        out_ref[:] = jnp.broadcast_to(final[:, r][:, None], out_ref.shape)
 
     return kernel
 
@@ -320,6 +354,11 @@ def dtw_banded_pallas_diag_multi(a_batch: jnp.ndarray, q_batch: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((BT, W_pad), jnp.float32),
                         pltpu.VMEM((BT, W_pad), jnp.float32)],
         interpret=interpret,
+        # The default 16 MB scoped-vmem cap counts every unrolled step's
+        # temporaries across the three loop bodies; the data blocks above are
+        # sized to ~12 MB, so give Mosaic headroom for its stack.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(ae, qe)
     return out[:B, 0]
 

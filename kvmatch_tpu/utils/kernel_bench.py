@@ -25,22 +25,39 @@ from typing import Callable, Dict
 import numpy as np
 
 
-def _timed_scan(fn: Callable, reps: int):
-    """Build a jitted runner: acc = sum_i float(fn(i)); returns seconds/iter."""
+def _timed_scan(fn: Callable, reps: int, rounds: int = 3):
+    """Build a jitted runner: acc = sum_i float(fn(i)); returns seconds/iter.
+
+    Per-invocation dispatch on the tunnel-attached dev TPU is a fixed ~25-100
+    ms that WOBBLES run to run (measured: the same gather read 4.5, 13.2 and
+    31.7 GB/s across three sessions at reps=8) — so the runner both amortizes
+    it over ``reps`` in-scan iterations and takes the MIN over ``rounds``
+    invocations; min-of-rounds is the standard estimator for a fixed quantity
+    plus non-negative noise.
+
+    Every round gets a DISTINCT iteration-index range: the axon backend
+    memoizes repeated executions with identical inputs (measured: the second
+    identical invocation returns in ~10 us), which would make min-of-rounds
+    report the cache, not the kernel.  Callers must therefore tolerate
+    fn(i) for i < reps * (rounds + 1)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run():
+    def run(j):
         def body(carry, i):
             return carry + fn(i), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(reps) + j * reps)
         return acc
 
-    run()  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(run())
-    return (time.perf_counter() - t0) / reps
+    jax.block_until_ready(run(jnp.int32(rounds)))  # compile + warm
+    best = float("inf")
+    for k in range(rounds):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jnp.int32(k)))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
 
 
 def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
@@ -64,15 +81,16 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     # iterations would report dispatch, not bandwidth.
 
     # --- gather-ED: B candidate windows of length L ---------------------------
+    fast_reps = 64  # amortizes dispatch far below the ~10-25 ms iterations
     B, L = 65536, 1024
-    offs = jnp.asarray(rng.integers(0, n - L - reps, B), jnp.int32)
+    offs = jnp.asarray(rng.integers(0, n - L - 4 * fast_reps, B), jnp.int32)
     q = data_dev[:L]
 
     def gather_fn(i):
         d2 = ed_distances(data_dev, q, offs + i, L)
         return jnp.sum(d2)
 
-    sec = _timed_scan(gather_fn, reps)
+    sec = _timed_scan(gather_fn, fast_reps)
     bytes_moved = B * L * 4 + L * 4 + B * 4
     out["gather_ed_gbps"] = bytes_moved / sec / 1e9
     out["gather_ed_ms"] = sec * 1e3
@@ -81,7 +99,7 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     # --- region-FFT (MASS z-norm): R regions of M offsets ---------------------
     R, M = 8192, 512
     r_len = M + L - 1
-    starts = jnp.asarray(rng.integers(0, n - r_len - reps, R), jnp.int32)
+    starts = jnp.asarray(rng.integers(0, n - r_len - 4 * fast_reps, R), jnp.int32)
     qh = (q - jnp.mean(q)) / (jnp.std(q) + 1e-9)
 
     def region_fn(i):
@@ -90,7 +108,7 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
         return (jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0.0))
                 + jnp.sum(mean) + jnp.sum(std))
 
-    sec = _timed_scan(region_fn, reps)
+    sec = _timed_scan(region_fn, fast_reps)
     bytes_moved = R * r_len * 4 + L * 4 + 3 * R * M * 4  # reads + (d2, mean, std)
     out["region_fft_gbps"] = bytes_moved / sec / 1e9
     out["region_fft_ms"] = sec * 1e3
@@ -103,7 +121,7 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
     # alongside as banded_dtw_xla_* for comparison.
     from ..ops.dtw import _use_pallas_dtw
     Bd, rho = 8192, 51
-    offs_d = jnp.asarray(rng.integers(0, n - L - reps, Bd), jnp.int32)
+    offs_d = jnp.asarray(rng.integers(0, n - L - 4 * reps, Bd), jnp.int32)
     use_pallas = _use_pallas_dtw()
     if use_pallas:
         from ..ops.dtw_pallas import _PALLAS_DTW_STATE, dtw_banded_pallas
@@ -173,7 +191,7 @@ def measure_kernel_efficiency(data_dev, reps: int = 8) -> Dict[str, float]:
                            scales, DEFAULT_INDEX_CONFIG.pos_of_d)
         return sum(jnp.sum(v[:: 4096].astype(jnp.float32)) for v in bk.values())
 
-    sec = _timed_scan(build_fn, reps)
+    sec = _timed_scan(build_fn, fast_reps)
     bytes_moved = nb * 4 + len(scales) * nb * 4
     out["build_pass_gbps"] = bytes_moved / sec / 1e9
     out["build_pass_mpts_per_s"] = nb * len(scales) / sec / 1e6
