@@ -116,6 +116,22 @@ class QueryConfig:
     # explicitly (e.g. tpu_tuned(dense_probe_min_count=2_000_000)) on
     # hardware that tolerates it.  query_batch_device always uses the probe.
     dense_probe_min_count: int | None = None
+    # Device region-route phase-2 cost (ms per candidate OFFSET): when set,
+    # the early-termination estimate is the MIN of the reference's gather
+    # form (cost_a/cost_b, which scales with L) and this flat per-offset
+    # rate — the region kernels verify clustered candidates at ~500M
+    # offsets/s nearly independent of L, so the gather form overestimates
+    # flood phase 2 ~10x and keeps phase 1 buying segments that cost more
+    # than they save.  Only applies to ED engines with device-resident data.
+    phase2_cost_region: float | None = None
+    # Dense phase-1 emission: 'runs' = run-compressed interval buffers with
+    # the gap-coalescing overflow ladder (exact edges; the emission scatters
+    # serialize on TPU — ~16 s/pass at n=1e8 regardless of selectivity),
+    # 'flags' = the overflow-proof per-FLAG_BLOCK candidate bitmap (256-wide
+    # over-coverage the exact phase 2 rejects; one pass, ~ms at n=1e8 with
+    # the barrel-shift probe).  'auto' picks flags on TPU, runs elsewhere
+    # (XLA-CPU scatters are cheap and the run edges keep host phase 2 tight).
+    dense_probe_emit: str = "auto"
     # Normalized-engine extras (NormQueryEngine.java:57-60).
     enable_std_filter: bool = True
     enable_beta_partition: bool = True
@@ -186,6 +202,7 @@ class QueryConfig:
         with extreme candidate loads.  Effect at L=2048: RSM-ED batch
         16.8 -> 24.2 q/s, cNSM-ED batch 2.0 -> 4.6 q/s, identical answers.
         """
+        overrides.setdefault("phase2_cost_region", 2e-6)  # ~500M offsets/s
         return cls(phase2_cost_a=0.01, phase2_cost_b=5e-4,
                    phase2_cost_a_dtw=0.02, phase2_cost_b_dtw=5e-4,
                    phase2_cost_intercept=30.0, **overrides)

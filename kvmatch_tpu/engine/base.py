@@ -718,6 +718,14 @@ class BaseEngine:
                 est2 = (cost_a * n_disjoint +
                         cost_b * n_offsets / 1e5 * ctx.length +
                         qcfg.phase2_cost_intercept)
+                if (qcfg.phase2_cost_region is not None
+                        and self.data_dev is not None and not self.host_only
+                        and not self.use_dtw_cost_model):
+                    # Clustered candidates take the region route (see
+                    # QueryConfig.phase2_cost_region): flat per-offset rate,
+                    # ~L-independent.
+                    est2 = min(est2, qcfg.phase2_cost_region * n_offsets
+                               + qcfg.phase2_cost_intercept)
                 est2_now = est2
                 estimate = t1_ms + est2
                 if logger.isEnabledFor(logging.DEBUG):
@@ -824,13 +832,25 @@ class BaseEngine:
         over-coverage the exact phase 2 rejects — sound by construction.
         Returns {query_index_in_group: (left i64, right i64)}; every query in
         the group is present (no host fallback needed)."""
+        import jax
+
         out = {}
         pending = set(range(len(ctxs)))
         unit = self.icfg.unit
+        # Emission route (QueryConfig.dense_probe_emit): on TPU the flag
+        # probe is strictly better — the run emission's compaction scatters
+        # serialize (~16 s/pass at n=1e8 at ANY candidate density) while the
+        # flag probe is one fused pass, and its 256-wide over-coverage goes
+        # to the exact phase 2.  The run ladder stays the CPU default (cheap
+        # scatters, exact edges) and the overflow backstop everywhere.
+        emit = self.qcfg.dense_probe_emit
+        if emit == "auto":
+            emit = "flags" if jax.default_backend() == "tpu" else "runs"
+        gaps = (1, unit) if emit == "runs" else ()
         # Re-probe the FULL group each round: the probe program is shape-keyed
         # on Q, so shrinking the group would recompile (minutes on a tunnel
         # link); one redundant pass over solved queries is far cheaper.
-        for gap in (1, unit):
+        for gap in gaps:
             n_off, n_runs, run_l, run_r, cand_k = self._device_dense_phase1(
                 ctxs, seg_lists, gap=gap)
             for qi in sorted(pending):

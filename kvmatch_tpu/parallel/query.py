@@ -72,18 +72,58 @@ def pack_segments(segments, scales: Tuple[int, ...]) -> DenseSegments:
     )
 
 
+#: The barrel-shift probe addressing trades traced indexing for dense rolls —
+#: a huge win on TPU (traced starts break XLA's fusion of the probe into one
+#: streaming pass: the n=1e8 flags probe runs ~0.2 ms static vs 5.9 s traced),
+#: but pointless on CPU where XLA's dynamic-slice is cheap.  CPU runs keep the
+#: legacy path; tests/conftest.py flips this so the CPU suite covers the
+#: barrel code (results are bit-identical either way).
+PROBE_BARREL_ON_CPU = False
+
+
+def _row_at_shift(bstack: jnp.ndarray, scale_idx, shift, out_len: int,
+                  max_shift: int):
+    """``bstack[scale_idx][shift : shift + out_len]`` for traced scale_idx /
+    shift, with STATIC addressing on TPU.
+
+    A traced row pick + traced-start dynamic_slice forces XLA to materialize
+    the sliced row to HBM per segment, destroying the fusion that makes the
+    unrolled probe a single streaming pass (measured at n=1e8, Q=5, S=30:
+    5.9 s traced vs 0.2 ms static — the whole BENCH_r03/r4 flood phase-1
+    cost).  Static form: the row pick becomes an S-way elementwise select and
+    the shift a log2(max_shift)-stage conditional barrel shifter of static
+    rolls (the ops/ed.py gather trick) — every stage is a fusible stencil op.
+    Rotation keeps the read region [0, out_len) wrap-free for any
+    shift <= bstack.shape[1] - out_len, which callers guarantee exactly as
+    they did for the dynamic_slice form.  ``max_shift`` (static) bounds the
+    stage count: segment shifts are (order-1)*unit < query length."""
+    if jax.default_backend() == "tpu" or PROBE_BARREL_ON_CPU:
+        w = bstack[0]
+        for s in range(1, bstack.shape[0]):
+            w = jnp.where(scale_idx == s, bstack[s], w)
+        hi = min(int(max_shift), bstack.shape[1] - out_len)
+        bit = 1
+        while bit <= hi - 1:
+            w = jnp.where((shift & bit) != 0, jnp.roll(w, -bit), w)
+            bit <<= 1
+        return jax.lax.slice(w, (0,), (out_len,))
+    return jax.lax.dynamic_slice(bstack[scale_idx], (shift,), (out_len,))
+
+
 def _dense_probe(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
-                 d: float, out_len: int, slack: float) -> jnp.ndarray:
+                 d: float, out_len: int, slack: float,
+                 max_shift: int | None = None) -> jnp.ndarray:
     """Accumulated epsilon lower bound per local candidate position.
 
     Bucket ids advance by one per d-wide grid cell (utils/rounding.bucket_id), so
     the cell covered by bucket b is [b*d, b*d + d], widened by the probe slack."""
+    ms = bstack.shape[1] - out_len if max_shift is None else max_shift
 
     def body(acc, sg):
         scale_idx, order, mean_lo, mean_hi, width, valid = sg
-        brow = bstack[scale_idx]
         shift = (order - 1) * unit
-        b = jax.lax.dynamic_slice(brow, (shift,), (out_len,)).astype(jnp.float32)
+        b = _row_at_shift(bstack, scale_idx, shift, out_len,
+                          ms).astype(jnp.float32)
         key_lo = b * np.float32(d) - slack
         key_hi = key_lo + np.float32(d) + 2 * slack
         delta = jnp.maximum(jnp.maximum(key_lo - mean_hi,
@@ -116,7 +156,7 @@ def make_dense_query_step(icfg: IndexConfig, length: int, top_k: int = 2048,
         n = data.shape[0]
         m = n - length + 1
         k = min(top_k, n)  # oversized K degrades gracefully
-        eps_acc = _dense_probe(bstack, segs, unit, icfg.d, n, slack)
+        eps_acc = _dense_probe(bstack, segs, unit, icfg.d, n, slack, length)
         pos = jnp.arange(n, dtype=jnp.int32)
         mask = (eps_acc <= eps2) & (pos < m)
         count = jnp.sum(mask.astype(jnp.int32))
@@ -157,7 +197,7 @@ def make_dense_query_step_batched(icfg: IndexConfig, length: int,
         m = n - length + 1
         k = min(top_k, n)  # oversized K degrades gracefully
         eps_acc = jax.vmap(
-            lambda sg: _dense_probe(bstack, sg, unit, icfg.d, n, slack))(segs)
+            lambda sg: _dense_probe(bstack, sg, unit, icfg.d, n, slack, length))(segs)
         pos = jnp.arange(n, dtype=jnp.int32)
         mask = (eps_acc <= eps2[:, None]) & (pos[None, :] < m)
         counts = jnp.sum(mask.astype(jnp.int32), axis=1)
@@ -192,9 +232,9 @@ def _dense_probe_norm(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
     def body(carry, sg):
         acc, exlo, exup, ex2lo, punits = carry
         scale_idx, order, mean_lo_s, mean_hi_s, width, valid = sg
-        brow = bstack[scale_idx]
         shift = (order - 1) * unit
-        b = jax.lax.dynamic_slice(brow, (shift,), (out_len,)).astype(jnp.float32)
+        b = _row_at_shift(bstack, scale_idx, shift, out_len,
+                          qlen).astype(jnp.float32)
         key_lo = b * np.float32(d) - slack
         key_hi = key_lo + np.float32(d) + 2 * slack
         n_lo = key_lo - (mu_q + beta)
@@ -328,7 +368,7 @@ def make_dense_probe_step_batched(icfg: IndexConfig, length: int,
             if norm:
                 return _dense_probe_norm(bwin, sg, unit, icfg.d, blk, slack,
                                          c[0], c[1], c[2], c[3], length)
-            return _dense_probe(bwin, sg, unit, icfg.d, blk, slack)
+            return _dense_probe(bwin, sg, unit, icfg.d, blk, slack, length)
 
         def body(b, carry):
             counts, best_s, best_i = carry
@@ -425,7 +465,7 @@ def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
             if norm:
                 return _dense_probe_norm(bwin, sg, unit, icfg.d, blk, slack,
                                          c[0], c[1], c[2], c[3], length)
-            return _dense_probe(bwin, sg, unit, icfg.d, blk, slack)
+            return _dense_probe(bwin, sg, unit, icfg.d, blk, slack, length)
 
         def body(b, carry):
             n_off, n_runs, n_ends, out_l, out_r, last_carry = carry
@@ -557,7 +597,7 @@ def make_dense_probe_step_flags(icfg: IndexConfig, length: int,
             if norm:
                 return _dense_probe_norm(bwin, sg, unit, icfg.d, blk, slack,
                                          c[0], c[1], c[2], c[3], length)
-            return _dense_probe(bwin, sg, unit, icfg.d, blk, slack)
+            return _dense_probe(bwin, sg, unit, icfg.d, blk, slack, length)
 
         def body(b, carry):
             n_off, flags = carry
@@ -659,7 +699,7 @@ def make_sharded_query_step_batched(mesh: Mesh, icfg: IndexConfig, length: int,
         b_h = jnp.concatenate(
             [bstack, jax.lax.ppermute(bstack[:, :halo], AXIS, src_dst)], axis=1)
         eps_acc = jax.vmap(
-            lambda sg: _dense_probe(b_h, sg, unit, icfg.d, per, slack))(segs)
+            lambda sg: _dense_probe(b_h, sg, unit, icfg.d, per, slack, length))(segs)
         gpos = shard_id * per + jnp.arange(per, dtype=jnp.int32)
         mask = (eps_acc <= eps2[:, None]) & (gpos[None, :] < n_total - length + 1)
         counts = jnp.sum(mask.astype(jnp.int32), axis=1)
@@ -713,7 +753,7 @@ def make_sharded_query_step(mesh: Mesh, icfg: IndexConfig, length: int,
         data_h = jnp.concatenate([data, jax.lax.ppermute(data[:halo], AXIS, src_dst)])
         b_h = jnp.concatenate(
             [bstack, jax.lax.ppermute(bstack[:, :halo], AXIS, src_dst)], axis=1)
-        eps_acc = _dense_probe(b_h, segs, unit, icfg.d, per, slack)
+        eps_acc = _dense_probe(b_h, segs, unit, icfg.d, per, slack, length)
         gpos = shard_id * per + jnp.arange(per, dtype=jnp.int32)
         mask = (eps_acc <= eps2) & (gpos < n_total - length + 1)
         count = jnp.sum(mask.astype(jnp.int32))
@@ -964,7 +1004,7 @@ def make_sharded_query_step_dtw_batched(mesh: Mesh, icfg: IndexConfig,
         b_h = jnp.concatenate(
             [bstack, jax.lax.ppermute(bstack[:, :halo], AXIS, src_dst)], axis=1)
         eps_acc = jax.vmap(
-            lambda sg: _dense_probe(b_h, sg, unit, icfg.d, per, slack))(segs)
+            lambda sg: _dense_probe(b_h, sg, unit, icfg.d, per, slack, length))(segs)
         gpos = shard_id * per + jnp.arange(per, dtype=jnp.int32)
         mask = (eps_acc <= eps2[:, None]) & (gpos[None, :] < n_total - length + 1)
         counts = jnp.sum(mask.astype(jnp.int32), axis=1)

@@ -24,3 +24,9 @@ jax.config.update("jax_platforms", "cpu")
 from kvmatch_tpu.ops import ed as _ed
 
 _ed.GATHER_TILED_ON_CPU = True
+
+# The probe's barrel-shift addressing (parallel/query.py:_row_at_shift) stays
+# on its CPU default (legacy dynamic_slice) here: flipping it globally slows
+# the whole suite ~3x (13 extra full-width rolls per probed segment).
+# tests/test_dense_route.py::test_barrel_probe_bit_identical covers the
+# barrel code path explicitly.
