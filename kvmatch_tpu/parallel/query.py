@@ -72,32 +72,23 @@ def pack_segments(segments, scales: Tuple[int, ...]) -> DenseSegments:
     )
 
 
-#: The barrel-shift probe addressing trades traced indexing for dense rolls —
-#: a huge win on TPU (traced starts break XLA's fusion of the probe into one
-#: streaming pass: the n=1e8 flags probe runs ~0.2 ms static vs 5.9 s traced),
-#: but pointless on CPU where XLA's dynamic-slice is cheap.  CPU runs keep the
-#: legacy path; tests/conftest.py flips this so the CPU suite covers the
-#: barrel code (results are bit-identical either way).
+#: Opt-in barrel-shift probe addressing (an S-way select for the row pick +
+#: a log2-stage conditional roll chain for the shift, bit-identical to the
+#: dynamic_slice form).  Measured at n=1e8, Q=8, S=30 on a v5e: legacy traced
+#: addressing 8.6 s/pass, barrel 10.6 s/pass, the same probe with trace-time
+#: constant addressing ~0.03 s — XLA materializes every roll/select stage
+#: through HBM instead of fusing, so NEITHER form approaches the fused
+#: single-pass floor; that needs the Pallas probe kernel (VMEM-resident
+#: rows, in-register accumulation).  Kept for the CPU-coverage test and as
+#: the reference semantics for that kernel.
 PROBE_BARREL_ON_CPU = False
 
 
 def _row_at_shift(bstack: jnp.ndarray, scale_idx, shift, out_len: int,
                   max_shift: int):
     """``bstack[scale_idx][shift : shift + out_len]`` for traced scale_idx /
-    shift, with STATIC addressing on TPU.
-
-    A traced row pick + traced-start dynamic_slice forces XLA to materialize
-    the sliced row to HBM per segment, destroying the fusion that makes the
-    unrolled probe a single streaming pass (measured at n=1e8, Q=5, S=30:
-    5.9 s traced vs 0.2 ms static — the whole BENCH_r03/r4 flood phase-1
-    cost).  Static form: the row pick becomes an S-way elementwise select and
-    the shift a log2(max_shift)-stage conditional barrel shifter of static
-    rolls (the ops/ed.py gather trick) — every stage is a fusible stencil op.
-    Rotation keeps the read region [0, out_len) wrap-free for any
-    shift <= bstack.shape[1] - out_len, which callers guarantee exactly as
-    they did for the dynamic_slice form.  ``max_shift`` (static) bounds the
-    stage count: segment shifts are (order-1)*unit < query length."""
-    if jax.default_backend() == "tpu" or PROBE_BARREL_ON_CPU:
+    shift.  See PROBE_BARREL_ON_CPU for why the barrel form is opt-in."""
+    if PROBE_BARREL_ON_CPU:
         w = bstack[0]
         for s in range(1, bstack.shape[0]):
             w = jnp.where(scale_idx == s, bstack[s], w)

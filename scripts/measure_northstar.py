@@ -79,7 +79,12 @@ def _ensure_1e8():
 
 
 def _run_cnsm(tag, eng, q8, offs8):
-    eng.query_batch(q8[:2], 4.0, alpha=1.2, beta=5.0)  # warm/compile
+    # warm with the FULL batch: the probe programs are shape-keyed on the
+    # group size Q, so a smaller warmup leaves the real program compiling
+    # inside the timed region (~30 s remote compile / 8 queries looked like
+    # a 4.9 s/query phase 1).  Engine-level repeats do not memoize, so the
+    # identical-batch warmup is safe to time against.
+    eng.query_batch(q8, 4.0, alpha=1.2, beta=5.0)
     t0 = time.perf_counter()
     r8 = eng.query_batch(q8, 4.0, alpha=1.2, beta=5.0)
     dt = time.perf_counter() - t0
@@ -113,7 +118,7 @@ def s3_rsm_batch():
                         device_data=state.get("data_dev8"))
     offs_r = np.random.default_rng(3).integers(0, n8 - L, 128)
     q_r = np.stack([data8[o:o + L] for o in offs_r])
-    reng8.query_batch(q_r[:4], 10.0)
+    reng8.query_batch(q_r, 10.0)  # full-batch warm (programs shape-key on Q)
     t0 = time.perf_counter()
     rr = reng8.query_batch(q_r, 10.0)
     dt = time.perf_counter() - t0
