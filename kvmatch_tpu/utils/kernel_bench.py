@@ -208,11 +208,12 @@ def compare_pallas_gather(data_dev, reps: int = 8) -> Dict[str, float]:
     import jax.numpy as jnp
 
     from ..ops.ed import ed_distances
-    from ..ops.pallas_ed import window_distances_pallas
+    from ..ops.pallas_ed import pad_to_align, window_distances_pallas
 
     n = int(data_dev.shape[0])
     out: Dict[str, float] = {}
     rng = np.random.default_rng(1)
+    data_al = pad_to_align(data_dev)  # aligned-DMA contract; pad once
     for B, L in ((4096, 1024), (1024, 8192)):
         offs = jnp.asarray(rng.integers(0, n - L - reps, B), jnp.int32)
         q = data_dev[:L]
@@ -221,7 +222,7 @@ def compare_pallas_gather(data_dev, reps: int = 8) -> Dict[str, float]:
             return jnp.sum(ed_distances(data_dev, q, offs + i, L))
 
         def pallas_fn(i):
-            return jnp.sum(window_distances_pallas(data_dev, q, offs + i, L))
+            return jnp.sum(window_distances_pallas(data_al, q, offs + i, L))
 
         sec_x = _timed_scan(xla_fn, reps)
         try:
