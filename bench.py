@@ -149,15 +149,15 @@ def main() -> int:
     # --- README demo query ---------------------------------------------------
     L, eps, demo_off = 8192, 10.0, 123_455  # 0-based = reference offset 123456
     demo_ms, demo_ok = float("nan"), False
+    demo_lat: list = []
     with _Section("demo"):
         res = engine.query_at(demo_off, L, eps)  # compile warmup
         demo_ok = bool(res.found and int(res.offsets[0]) == demo_off
                        and res.distances[0] == 0.0)
-        lat = []
         for _ in range(3 if args.quick else 7):
             r = engine.query_at(demo_off, L, eps)
-            lat.append(r.stats.t_total_ms)
-        demo_ms = statistics.median(lat)
+            demo_lat.append(round(r.stats.t_total_ms, 2))
+        demo_ms = statistics.median(demo_lat)
 
     # --- batched RSM-ED throughput ------------------------------------------
     rng = np.random.default_rng(1)
@@ -167,12 +167,14 @@ def main() -> int:
     rsm_qps = ref_rsm_qps = 0.0
     rsm_p1_ms = rsm_p2_ms = 0.0
     rsm_cands = rsm_near = found = 0
+    rsm_qps_reps: list = []
     with _Section("rsm_batch"):
         engine.query_batch(queries, eps)  # warmup (compiles all launch buckets)
         for _ in range(2):  # the dev tunnel adds large run-to-run variance
             t0 = time.perf_counter()
             batch_res = engine.query_batch(queries, eps)
-            rsm_qps = max(rsm_qps, nq / (time.perf_counter() - t0))
+            rsm_qps_reps.append(round(nq / (time.perf_counter() - t0), 1))
+            rsm_qps = max(rsm_qps, rsm_qps_reps[-1])
         found = sum(1 for o, r in zip(offs, batch_res)
                     if int(o) in r.offsets.tolist())
         # Reference's own fitted phase-2 model (QueryEngine.java:55-57) applied
@@ -194,6 +196,7 @@ def main() -> int:
     cnsm_qps = ref_cnsm_qps = 0.0
     nfound = 0
     neng = None
+    cnsm_qps_reps: list = []
     with _Section("cnsm_batch"):
         neng = NormQueryEngine(data, index=index, icfg=icfg, qcfg=qcfg,
                                device_data=engine.data_dev)
@@ -201,7 +204,8 @@ def main() -> int:
         for _ in range(2):
             t0 = time.perf_counter()
             nres = neng.query_batch(q2, 4.0, alpha=1.2, beta=5.0)
-            cnsm_qps = max(cnsm_qps, nq2 / (time.perf_counter() - t0))
+            cnsm_qps_reps.append(round(nq2 / (time.perf_counter() - t0), 1))
+            cnsm_qps = max(cnsm_qps, cnsm_qps_reps[-1])
         nfound = sum(1 for o, r in zip(offs2, nres)
                      if int(o) in r.offsets.tolist())
         nref_ms = [9.72276547123376 * r.stats.n_disjoint
@@ -303,6 +307,7 @@ def main() -> int:
     cd_found = 0
     cd_rechecked = -1
     nq_cd = 16
+    cd_qps_reps: list = []
     with _Section("cnsm_dtw"):
         if args.quick:
             raise RuntimeError("skipped in --quick")
@@ -311,9 +316,12 @@ def main() -> int:
         q_cd = queries[:nq_cd]
         rho_ns = int(0.05 * L)
         cdeng.query_batch(q_cd[:2], 4.0, rho=rho_ns, alpha=1.2, beta=5.0)
-        t0 = time.perf_counter()
-        cd_res = cdeng.query_batch(q_cd, 4.0, rho=rho_ns, alpha=1.2, beta=5.0)
-        cnsm_dtw_qps = nq_cd / (time.perf_counter() - t0)
+        for _ in range(3):  # median-of-3 (VERDICT r4 next #4)
+            t0 = time.perf_counter()
+            cd_res = cdeng.query_batch(q_cd, 4.0, rho=rho_ns,
+                                       alpha=1.2, beta=5.0)
+            cd_qps_reps.append(round(nq_cd / (time.perf_counter() - t0), 3))
+        cnsm_dtw_qps = statistics.median(cd_qps_reps)
         cd_found = sum(1 for o, r in zip(offs[:nq_cd], cd_res)
                        if int(o) in r.offsets.tolist())
         cd_rechecked = int(np.sum([r.stats.n_host_rechecked for r in cd_res]))
@@ -425,6 +433,12 @@ def main() -> int:
             "index_memory_mb": _r(total_memory_bytes(index) / 1e6, 1),
             "rsm_ed_batch_qps": _r(rsm_qps, 1),
             "cnsm_ed_batch_qps": _r(cnsm_qps, 1),
+            # per-repetition values for the headline metrics (VERDICT r4
+            # weak #2: run-to-run spread must be visible in the artifact)
+            "demo_ms_reps": demo_lat,
+            "rsm_ed_batch_qps_reps": rsm_qps_reps,
+            "cnsm_ed_batch_qps_reps": cnsm_qps_reps,
+            "cnsm_dtw_batch_qps_reps": cd_qps_reps,
             "rsm_ed_batch_speedup_vs_ref_demo_rate": _r(
                 rsm_qps / (1000.0 / BASELINE_DEMO_MS), 1),
             "ref_costmodel_rsm_qps_est": _r(ref_rsm_qps, 2),
@@ -472,17 +486,39 @@ def main() -> int:
             "backend_mode": backend_mode,
             "kernel_efficiency": kernel_eff,
             "section_errors": SECTION_ERRORS,
+            # correctness fields appear ONLY for sections that actually ran
+            # (VERDICT r4 weak #8: a skipped section's "0/16" reads as 16
+            # false dismissals)
             "correctness": {
-                "demo_exact": demo_ok,
-                "rsm_batch_self_found": f"{found}/{nq}",
-                "cnsm_batch_self_found": f"{nfound}/{nq2}",
-                "rsm_device_self_found": f"{dev_found}/{nq}",
-                "cnsm_device_self_found": f"{ndev_found}/{nq2}",
-                "dtw_self_found": dtw_ok,
-                "cnsm_dtw_batch_self_found": f"{cd_found}/{nq_cd}",
+                k: v for k, v, sec in [
+                    ("demo_exact", demo_ok, "demo"),
+                    ("rsm_batch_self_found", f"{found}/{nq}", "rsm_batch"),
+                    ("cnsm_batch_self_found", f"{nfound}/{nq2}", "cnsm_batch"),
+                    ("rsm_device_self_found", f"{dev_found}/{nq}",
+                     "rsm_device_batch"),
+                    ("cnsm_device_self_found", f"{ndev_found}/{nq2}",
+                     "cnsm_device_batch"),
+                    ("dtw_self_found", dtw_ok, "rsm_dtw"),
+                    ("cnsm_dtw_batch_self_found", f"{cd_found}/{nq_cd}",
+                     "cnsm_dtw"),
+                ] if sec not in SECTION_ERRORS
             },
         },
     }
+    # Persist the FULL artifact unconditionally: the driver's BENCH_r*.json
+    # keeps only a truncated tail, which lost the final numbers in rounds 3
+    # AND 4 (VERDICT r4 missing #4).  One file per run, never overwritten.
+    try:
+        logdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "docs", "logs")
+        os.makedirs(logdir, exist_ok=True)
+        k = 1
+        while os.path.exists(os.path.join(logdir, f"bench_r5_run{k}.json")):
+            k += 1
+        with open(os.path.join(logdir, f"bench_r5_run{k}.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except Exception as exc:  # noqa: BLE001 — persistence must never kill the line
+        print(f"[bench] artifact persistence failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 

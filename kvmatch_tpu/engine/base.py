@@ -863,31 +863,42 @@ class BaseEngine:
             if not pending:
                 break
         if pending:
-            n_off, flags = self._device_dense_phase1_flags(ctxs, seg_lists)
+            n_off, flags, fgran = self._device_dense_phase1_flags(ctxs,
+                                                                  seg_lists)
             m = self.n - ctxs[0].length + 1
             for qi in sorted(pending):
                 ctxs[qi].stats.n_candidates = int(n_off[qi])
-                out[qi] = self._flags_to_intervals(flags[qi], m)
+                out[qi] = self._flags_to_intervals(flags[qi], m, fgran)
         return out
 
-    FLAG_BLOCK = 256  # position granularity of the overflow-proof flag probe
+    FLAG_BLOCK = 256  # position granularity of the XLA flag probe
 
     def _device_dense_phase1_flags(self, ctxs, seg_lists):
-        """Overflow-proof flood phase 1: one fly-probe pass emitting per-
-        FLAG_BLOCK candidate flags (bool[Q, n/FLAG_BLOCK]) plus exact
-        candidate counts.  Output size is fixed at any candidate density —
-        ~0.4 MB/query at n=1e8 vs 256 MB/query of run buffers."""
+        """Overflow-proof flood phase 1: one fly-probe pass emitting per-block
+        candidate flags (bool[Q, n/F]) plus exact candidate counts.  Output
+        size is fixed at any candidate density — ~0.4 MB/query at n=1e8 vs
+        256 MB/query of run buffers.  Runs the FUSED Pallas probe kernel
+        (ops/probe_pallas.py, flag granularity 128) when the backend lowers
+        it; otherwise the XLA flags step (granularity FLAG_BLOCK=256).
+        Returns (n_off i32[Q], flags bool[Q, NF], flag_granularity)."""
         import jax.numpy as jnp
+        from ..ops.probe_pallas import pallas_probe_available
         from ..parallel.query import (make_dense_probe_step_flags,
+                                      make_dense_probe_step_flags_pallas,
                                       pack_segments_batch)
         L = ctxs[0].length
         norm = "alpha" in ctxs[0].params
+        use_pallas = pallas_probe_available()
         if not hasattr(self, "_flag_steps"):
             self._flag_steps = {}
-        key = (L, norm, len(ctxs))
+        key = (L, norm, len(ctxs), use_pallas)
         if key not in self._flag_steps:
-            self._flag_steps[key] = make_dense_probe_step_flags(
-                self.icfg, L, flag_block=self.FLAG_BLOCK, norm=norm)
+            if use_pallas:
+                self._flag_steps[key] = make_dense_probe_step_flags_pallas(
+                    self.icfg, L, norm=norm)
+            else:
+                self._flag_steps[key] = make_dense_probe_step_flags(
+                    self.icfg, L, flag_block=self.FLAG_BLOCK, norm=norm)
         step = self._flag_steps[key]
         data_p = self._fly_padded_dev(L)
         segs = pack_segments_batch(seg_lists, tuple(self.icfg.scales))
@@ -899,13 +910,16 @@ class BaseEngine:
         else:
             cons = jnp.zeros((len(ctxs), 4), jnp.float32)
         n_off, flags = step(data_p, segs, eps2, cons, jnp.int32(self.n))
-        return np.asarray(n_off), np.asarray(flags)
+        from ..ops.probe_pallas import FLAG as _PF
+        return (np.asarray(n_off), np.asarray(flags),
+                _PF if use_pallas else self.FLAG_BLOCK)
 
-    def _flags_to_intervals(self, flags_row: np.ndarray, m: int):
+    def _flags_to_intervals(self, flags_row: np.ndarray, m: int,
+                            fgran: int | None = None):
         """Expand one query's flag bitmap into disjoint candidate intervals
         (adjacent flagged blocks coalesce; right edges clip to the last valid
         window start m-1)."""
-        F = self.FLAG_BLOCK
+        F = fgran if fgran is not None else self.FLAG_BLOCK
         idx = np.flatnonzero(flags_row)
         if idx.size == 0:
             e = np.empty(0, np.int64)

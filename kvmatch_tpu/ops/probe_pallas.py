@@ -169,13 +169,13 @@ def _probe_kernel(Q: int, S: int, s_seg: int, nv: int, qp: int, length: int,
                 nv_u = mu_q - beta + ((mu_q - beta) - mean_up) * punits * unit32 / rest_s
                 var_u = (ex2lo * unit32 + rest * nv_u * nv_u) / qlen32 \
                     - (mu_q - beta) ** 2
-                std_bad = jnp.where(
-                    rest > 0,
-                    (over & (var_o > limit)) | (under & (var_u > limit)),
-                    jnp.where(over, (mean_lo - (mu_q + beta)) ** 2 > limit,
-                              jnp.where(under,
-                                        ((mu_q - beta) - mean_up) ** 2 > limit,
-                                        False)))
+                # Pure boolean algebra (no jnp.where over bool vectors —
+                # Mosaic rejects the i8->i1 select/trunc it lowers to).
+                rest_pos = rest > 0  # scalar
+                bad_rest = (over & (var_o > limit)) | (under & (var_u > limit))
+                bad_flat = (over & ((mean_lo - (mu_q + beta)) ** 2 > limit)) \
+                    | (under & (((mu_q - beta) - mean_up) ** 2 > limit))
+                std_bad = (rest_pos & bad_rest) | (~rest_pos & bad_flat)
                 acc = jnp.where(std_bad, INF, acc)
 
             mask = (acc <= feps2_ref[q, 0]) & (pos < m)

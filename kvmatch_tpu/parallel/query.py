@@ -396,8 +396,10 @@ FLY_FILL = np.float32(1e7)
 def fly_pad_for(length: int, w_max: int) -> int:
     """Right padding the on-the-fly probe needs on its data copy: the maximum
     block size any batch can pick, plus the segment-shift and window halos
-    (independent of n/Q so the padded copy serves every batch size)."""
-    return PROBE_BLOCK_MAX + max(length, 8192) + w_max
+    (independent of n/Q so the padded copy serves every batch size).  The
+    extra 2*8192 covers the Pallas probe's tile-rounded halo, which can
+    exceed max(L, 8192) by up to two tiles (ops/probe_pallas.views_for)."""
+    return PROBE_BLOCK_MAX + max(length, 8192) + 2 * 8192 + w_max
 
 
 def make_dense_probe_step_fly(icfg: IndexConfig, length: int,
@@ -609,6 +611,75 @@ def make_dense_probe_step_flags(icfg: IndexConfig, length: int,
                   jnp.zeros((Q, nb * nf_blk), jnp.bool_))
         n_off, flags = jax.lax.fori_loop(0, nb, body, carry0)
         return n_off, flags
+
+    return jax.jit(step, static_argnames=())
+
+
+def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
+                                       norm: bool = False,
+                                       scales: Tuple[int, ...] | None = None):
+    """Flood-mode dense phase 1 via the FUSED Pallas probe kernel.
+
+    Identical contract to ``make_dense_probe_step_flags`` (same on-the-fly
+    bucket construction, same probe math per ops/probe_pallas.py's module
+    doc), but the per-position bound accumulation runs as one Mosaic kernel
+    with segment addressing resolved in registers — no per-segment HBM
+    round-trips, which is what limits the XLA step to ~8.6 s/pass at n=1e8,
+    Q=8 (VERDICT r4 missing #2).  Flags come out at FLAG=128-position
+    granularity (one per lane row) instead of the XLA step's 256.
+
+    Args: (data_padded f32[n + fly_pad_for(...)], segs DenseSegments (leading
+    Q), eps2 f32[Q], cons f32[Q, 4], n_total i32) ->
+    (n_offsets i32[Q] exact candidate counts, flags bool[Q, NF]) with flag j
+    covering positions [j*128, (j+1)*128).
+    """
+    from ..ops.probe_pallas import (FLAG, LANES, RT, TILE, probe_flags_tiles,
+                                    views_for)
+    from ..ops.sliding import build_buckets
+
+    scales = scales or tuple(icfg.scales)
+    w_max = max(scales)
+    unit = icfg.unit
+    S = len(scales)
+    nv = views_for(length, unit)
+    halo = (nv - 1) * TILE          # bucket-window halo for segment shifts
+    FL = TILE // FLAG
+
+    def step(data_padded, segs: DenseSegments, eps2, cons, n_total):
+        Q = eps2.shape[0]
+        npad = data_padded.shape[0]
+        n_hi = npad - fly_pad_for(length, w_max)  # >= true n; bounds the loop
+        # Block size: multiple of TILE, capped at PROBE_BLOCK_MAX (the
+        # fly_pad_for padding guarantee keeps every dynamic_slice in bounds).
+        blk = min(PROBE_BLOCK_MAX, -(-max(n_hi, 1) // TILE) * TILE)
+        NT = blk // TILE
+        WR = (NT + nv - 1) * RT
+        need = blk + halo + w_max
+        nb = -(-max(n_hi, 1) // blk)
+        m = n_total - length + 1
+        ivalid = segs.valid.astype(jnp.int32)
+        eps2c = eps2[:, None]
+
+        def body(b, carry):
+            n_off, flags = carry
+            p0 = b * blk
+            piece = jax.lax.dynamic_slice(data_padded, (p0,), (need,))
+            bk = build_buckets(piece, scales, icfg.pos_of_d)
+            bwin = jnp.stack([bk[w][: blk + halo] for w in scales])
+            bwin3 = bwin.reshape(S, WR, LANES)
+            iscal = jnp.stack([p0, m]).reshape(1, 2).astype(jnp.int32)
+            flags_t, counts = probe_flags_tiles(
+                bwin3, segs.scale_idx, segs.order, ivalid,
+                segs.mean_lo, segs.mean_hi, segs.width, eps2c, cons, iscal,
+                length=length, unit=unit, d=icfg.d,
+                slack=float(icfg.probe_guard), norm=norm)
+            f = (flags_t.transpose(1, 0, 2).reshape(Q, NT * FL)) > 0
+            flags = jax.lax.dynamic_update_slice(flags, f, (0, b * NT * FL))
+            return n_off + counts, flags
+
+        carry0 = (jnp.zeros(Q, jnp.int32),
+                  jnp.zeros((Q, nb * NT * FL), jnp.bool_))
+        return jax.lax.fori_loop(0, nb, body, carry0)
 
     return jax.jit(step, static_argnames=())
 

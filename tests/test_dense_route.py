@@ -155,17 +155,16 @@ def test_flags_probe_matches_run_probe(setup):
                stats=QueryStats())
     segs = eng._plan(ctx)
     n1, r1, l1_, rr1, _ = eng._device_dense_phase1([ctx], [segs], gap=1)
-    nf, flags = eng._device_dense_phase1_flags([ctx], [segs])
+    nf, flags, F = eng._device_dense_phase1_flags([ctx], [segs])
     assert int(nf[0]) == int(n1[0]) > 0
     k = int(r1[0])
-    F = eng.FLAG_BLOCK
     expected = np.zeros(flags.shape[1], bool)
     for l, r in zip(l1_[0][:k].tolist(), rr1[0][:k].tolist()):
         expected[l // F: r // F + 1] = True
     assert np.array_equal(flags[0], expected)
     # interval expansion covers every candidate run and stays in range
     m = N - 512 + 1
-    fl, fr = eng._flags_to_intervals(flags[0], m)
+    fl, fr = eng._flags_to_intervals(flags[0], m, F)
     assert np.all(fr < m) and np.all(fl >= 0) and np.all(fl <= fr)
     for l, r in zip(l1_[0][:k].tolist(), rr1[0][:k].tolist()):
         assert np.any((fl <= l) & (r <= fr))
