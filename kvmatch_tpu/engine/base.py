@@ -873,6 +873,22 @@ class BaseEngine:
 
     FLAG_BLOCK = 256  # position granularity of the XLA flag probe
 
+    def _fly_cons_stats(self, length: int):
+        """Cached f32[3, npad] width-L window-stat stack (sum, sum-of-squares,
+        max|x|) for the Pallas flag probe's constraint AND, or None when it
+        would not fit the HBM budget (12 bytes/point; recomputing per block
+        costs ~1.5 s/batch at n=1e8, so the cache pays off after one batch)."""
+        from ..parallel.query import _device_mem_bytes, make_cons_stats_prog
+        data_p = self._fly_padded_dev(length)
+        if int(data_p.shape[0]) * 12 > 0.2 * _device_mem_bytes():
+            return None
+        cache = getattr(self, "_cons_stats_cache", None)
+        if cache is None:
+            cache = self._cons_stats_cache = {}
+        if length not in cache:
+            cache[length] = make_cons_stats_prog(length)(data_p)
+        return cache[length]
+
     def _device_dense_phase1_flags(self, ctxs, seg_lists):
         """Overflow-proof flood phase 1: one fly-probe pass emitting per-block
         candidate flags (bool[Q, n/F]) plus exact candidate counts.  Output
@@ -889,13 +905,15 @@ class BaseEngine:
         L = ctxs[0].length
         norm = "alpha" in ctxs[0].params
         use_pallas = pallas_probe_available()
+        stats3 = self._fly_cons_stats(L) if (use_pallas and norm) else None
         if not hasattr(self, "_flag_steps"):
             self._flag_steps = {}
-        key = (L, norm, len(ctxs), use_pallas)
+        key = (L, norm, len(ctxs), use_pallas, stats3 is not None)
         if key not in self._flag_steps:
             if use_pallas:
                 self._flag_steps[key] = make_dense_probe_step_flags_pallas(
-                    self.icfg, L, norm=norm)
+                    self.icfg, L, norm=norm,
+                    cached_stats=stats3 is not None)
             else:
                 self._flag_steps[key] = make_dense_probe_step_flags(
                     self.icfg, L, flag_block=self.FLAG_BLOCK, norm=norm)
@@ -909,7 +927,11 @@ class BaseEngine:
                                 for c in ctxs], jnp.float32)
         else:
             cons = jnp.zeros((len(ctxs), 4), jnp.float32)
-        n_off, flags = step(data_p, segs, eps2, cons, jnp.int32(self.n))
+        if stats3 is not None:
+            n_off, flags = step(data_p, segs, eps2, cons, jnp.int32(self.n),
+                                stats3)
+        else:
+            n_off, flags = step(data_p, segs, eps2, cons, jnp.int32(self.n))
         from ..ops.probe_pallas import FLAG as _PF
         return (np.asarray(n_off), np.asarray(flags),
                 _PF if use_pallas else self.FLAG_BLOCK)

@@ -390,6 +390,118 @@ def _numpy_twin_scale(b: np.ndarray, cap: int, count_factor: float,
     return p_left, p_right, p_row, grp_bucket, g_n_iv, g_n_off
 
 
+@functools.lru_cache(maxsize=1)
+def _pipeline_stats_jit():
+    import jax
+    return jax.jit(_scale_pipeline_stats, static_argnames=("cap",))
+
+
+def _scale_pipeline_stats(b, bucket_lo, n_valid, cap: int):
+    """Stats-only pipeline: EXACT per-bucket (offset, capped-interval)
+    histograms, no interval materialization.
+
+    The serving path (fly/Pallas probe phase 1 + device verify phase 2 —
+    engine/base._device_dense_phase1_flags) reads NO intervals: the probe
+    recomputes bucket windows from the raw series and phase 2 gathers data
+    windows.  The only index product it consumes is the planner's
+    selectivity statistics (plan.determine_query_plan's cost table, fed by
+    IndexScale.counts_between_batch).  This pipeline computes those
+    statistics exactly at d-grid (unmerged-row) granularity: per bucket, the
+    offset count and the number of intervals the cap-RLE would emit
+    (IndexNode.java:31's MAXIMUM_DIFF resplit).  The reference's
+    variable-width row merge (IndexBuilder.java:308-346) exists to bound
+    stored KV row counts; with no stored rows there is nothing to merge, and
+    the planner sees FINER (never coarser) selectivity estimates — plans can
+    only tighten, and phase 2 is exact regardless.
+
+    b: i32[M] bucket ids, positions >= n_valid carry _SENT.
+    Returns (hist_off i32[NB], hist_iv i32[NB]) indexed by (bucket -
+    bucket_lo); crossing to the host costs 8 MB per scale.
+    """
+    import jax.numpy as jnp
+
+    M = b.shape[0]
+    pos = jnp.arange(M, dtype=jnp.int32)
+    valid = pos < n_valid
+    change = jnp.concatenate([jnp.ones(1, bool), b[1:] != b[:-1]])
+    run_start = _prefix_max(jnp.where(change, pos, -1))
+    start = (change | ((pos - run_start) % cap == 0)) & valid
+    hidx = jnp.where(valid, jnp.clip(b - bucket_lo, 0, NB - 1), NB)
+    hist_off = jnp.zeros(NB + 1, jnp.int32).at[hidx].add(1, mode="drop")[:NB]
+    hist_iv = jnp.zeros(NB + 1, jnp.int32).at[hidx].add(
+        start.astype(jnp.int32), mode="drop")[:NB]
+    return hist_off, hist_iv
+
+
+def build_index_device_stats(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+                             stats: Optional[dict] = None) -> Index:
+    """Serving-mode device build: planner statistics only, built entirely on
+    the TPU (one bucket pass + one cummax + two histogram scatter-adds per
+    scale; ~8 MB/scale crosses to the host).  The returned IndexScales carry
+    keys/row_ptr/cum_* for planning but NO intervals — engines must serve
+    phase 1 through the device dense probe (QueryConfig.dense_probe_min_count)
+    and phase 2 through the device verify path; any host interval access
+    raises.  Use build_index_device (mode='full') when host phase 1 or index
+    persistence is needed.  Reference being replaced: IndexBuilder.java:186-348
+    at query-serving time, where the index's sole role is phase-1 pruning."""
+    import jax
+    import jax.numpy as jnp
+
+    data = np.asarray(data)
+    n = data.size
+    scales = tuple(cfg.scales)
+    u = min(scales)
+    cap = cfg.maximum_diff - 1
+    s = 10.0 ** (cfg.pos_of_d - 1)
+    bucket_lo = int(2 * np.floor(float(data.min()) * s)) - 2
+    bucket_hi = int(2 * np.floor(float(data.max()) * s)) + 3
+    if bucket_hi - bucket_lo >= NB:
+        raise ValueError(
+            f"mean-bucket range {bucket_hi - bucket_lo} exceeds the device "
+            f"histogram capacity {NB}; use the host builder for this data")
+    t0 = time.perf_counter()
+    data_dev = jnp.asarray(data, jnp.float32)
+    t_h2d = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pend = {}
+    for w in scales:
+        b = _bucket_prog(w, u, cfg.pos_of_d)(data_dev)
+        pend[w] = _pipeline_stats_jit()(b, jnp.int32(bucket_lo),
+                                        jnp.int32(n - w + 1), cap)
+        del b
+    hists = jax.device_get(pend)
+    t_dev = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    index: Index = {}
+    for w in scales:
+        hist_off, hist_iv = (a.astype(np.int64) for a in hists[w])
+        present = np.flatnonzero(hist_off)
+        buckets = present + bucket_lo
+        g_n_off = hist_off[present]
+        g_n_iv = hist_iv[present]
+        keys = rounding.bucket_to_key(buckets, cfg.pos_of_d)
+        row_ptr = np.zeros(present.size + 1, np.int64)
+        np.cumsum(g_n_iv, out=row_ptr[1:])
+        upper = float(rounding.bucket_to_key(int(buckets[-1]) + 1,
+                                             cfg.pos_of_d)) \
+            if present.size else float("inf")
+        index[w] = IndexScale(
+            w=w, n=n, keys=keys, row_ptr=row_ptr, left=None, right=None,
+            cum_intervals=np.cumsum(g_n_iv), cum_offsets=np.cumsum(g_n_off),
+            mean_upper_bound=upper, stats_only=True)
+    t_host = time.perf_counter() - t0
+    if stats is not None:
+        total = t_h2d + t_dev + t_host
+        stats.update(build_seconds=total,
+                     mpts_per_second=n * len(scales) / max(total, 1e-9) / 1e6,
+                     h2d_seconds=round(t_h2d, 2),
+                     device_seconds=round(t_dev, 2),
+                     host_group_seconds=round(t_host, 2))
+    return index
+
+
 #: Above this n the builder spills each scale's interval arrays to the host
 #: as it goes instead of keeping all scales device-resident: the 5 scales'
 #: piece arrays (3 x M x i32 each, ~6 GB at n=1e8) plus one pipeline's

@@ -49,6 +49,11 @@ class IndexScale:
     # build + fly-probe + device-verify query never pays the interval D2H.
     dev_pos_view: tuple = None
 
+    # Serving-mode scale (index/device_build.build_index_device_stats):
+    # planner statistics only, NO intervals anywhere.  Host interval access
+    # raises; phase 1 must run as the device dense probe.
+    stats_only: bool = False
+
     # Lazy position-sorted view: intervals ordered by left edge with their row id.
     # Lets a probe restrict itself to the running candidate span (engine/base.py
     # _gather_rows_span) — later phase-1 segments then cost O(span intervals)
@@ -153,6 +158,8 @@ class IndexScale:
     def memory_bytes(self) -> int:
         meta = sum(a.nbytes for a in (self.keys, self.row_ptr,
                                       self.cum_intervals, self.cum_offsets))
+        if self.stats_only:
+            return meta  # no intervals exist anywhere
         if self._left is not None:
             return meta + self._left.nbytes + self._right.nbytes
         # device-resident intervals: int32 left/right (+row) per piece
@@ -212,9 +219,16 @@ def _lazy_interval_field(name: str):
 
     def get(self):
         v = getattr(self, priv)
-        if v is None and self.dev_pos_view is not None:
-            self.materialize_host()
-            v = getattr(self, priv)
+        if v is None:
+            if self.stats_only:
+                raise RuntimeError(
+                    "stats-only index scale (build_index_device_stats) holds "
+                    "no intervals: serve phase 1 through the device dense "
+                    "probe (QueryConfig.dense_probe_min_count) or rebuild "
+                    "with build_index_device/build_index_tpu")
+            if self.dev_pos_view is not None:
+                self.materialize_host()
+                v = getattr(self, priv)
         return v
 
     def set_(self, v):

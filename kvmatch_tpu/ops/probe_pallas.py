@@ -74,7 +74,7 @@ def _probe_kernel(Q: int, S: int, s_seg: int, nv: int, qp: int, length: int,
                fmlo_ref, fmhi_ref, fwidth_ref, feps2_ref, fcons_ref,
                *view_and_out_refs):
         view_refs = view_and_out_refs[:nv]
-        flags_ref, counts_ref = view_and_out_refs[nv:]
+        flags_ref, counts_ref, xs_ref = view_and_out_refs[nv:]
         t = pl.program_id(0)
         p0 = iscal_ref[0, 0]
         m = iscal_ref[0, 1]
@@ -84,7 +84,13 @@ def _probe_kernel(Q: int, S: int, s_seg: int, nv: int, qp: int, length: int,
             for q in range(qp):
                 counts_ref[q, 0] = jnp.int32(0)
 
-        x = jnp.concatenate([r[...] for r in view_refs], axis=1)  # (S,NROWS,128)
+        # Stage the tile's bucket rows scale-major into VMEM scratch so each
+        # segment's shifted window is ONE dynamic sublane load (replaces the
+        # S-way select + log2(NROWS) conditional-roll barrel, which cost ~5x
+        # the arithmetic at S=5).
+        for k, vr in enumerate(view_refs):
+            for s in range(S):
+                xs_ref[s * NROWS + k * RT: s * NROWS + (k + 1) * RT, :] = vr[s]
         lane = jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 0)
         pos = p0 + t * TILE + row * LANES + lane
@@ -108,18 +114,10 @@ def _probe_kernel(Q: int, S: int, s_seg: int, nv: int, qp: int, length: int,
                 shift = (order - 1) * unit
                 a = shift // LANES
                 b = shift % LANES
-                # row pick: S-way select (static addressing)
-                w = x[0]
-                for si in range(1, S):
-                    w = jnp.where(sidx == si, x[si], w)
-                # sublane shift: conditional barrel of static rolls
-                bit = 1
-                while bit < NROWS:
-                    w = jnp.where((a & bit) != 0,
-                                  pltpu.roll(w, NROWS - bit, axis=0), w)
-                    bit <<= 1
+                # row pick + sublane shift: one dynamic VMEM load
+                rows = xs_ref[pl.ds(sidx * NROWS + a, RT + 1), :]
                 # lane remainder: one dynamic rotate + boundary select
-                rolled = pltpu.roll(w[:RT + 1], LANES - b, axis=1)
+                rolled = pltpu.roll(rows, LANES - b, axis=1)
                 bw = jnp.where((lane + b) < LANES,
                                rolled[:RT], rolled[1:RT + 1]).astype(jnp.float32)
                 key_lo = bw * d32 - slack32
@@ -225,6 +223,9 @@ def probe_flags_tiles(bwin3, iscale, iorder, ivalid, fmlo, fmhi, fwidth,
         out_shape=[
             jax.ShapeDtypeStruct((NT, qp, FL), jnp.float32),
             jax.ShapeDtypeStruct((qp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S * nv * RT, LANES), jnp.int32),
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(

@@ -111,6 +111,39 @@ def build_buckets(data: jnp.ndarray, scales: Tuple[int, ...], pos_of_d: int
     return {w: bucketize_means(s, w, pos_of_d) for w, s in sums.items()}
 
 
+def _forward_extreme(x: jnp.ndarray, L: int, op) -> jnp.ndarray:
+    """Forward-window extreme: out[i] = op-reduce(x[i:i+L]); length n-L+1.
+
+    Log-depth doubling; min/max are idempotent so the final combine uses two
+    OVERLAPPING power-of-two windows covering [0, L)."""
+    n = x.shape[0]
+    pow_ = {1: x}
+    w = 1
+    while w * 2 <= L:
+        s = pow_[w]
+        pow_[w * 2] = op(s[: n - 2 * w + 1], s[w: n - w + 1])
+        w *= 2
+    out_len = n - L + 1
+    s = pow_[w]
+    return op(s[:out_len], s[L - w: L - w + out_len])
+
+
+def sliding_window_stats_fwd(x: jnp.ndarray, L: int
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                        jnp.ndarray, jnp.ndarray]:
+    """Per-offset width-L window statistics: (sum, sum-of-squares, min, max),
+    each length n-L+1, all via log-depth doubling (balanced-tree f32 error —
+    the soundness basis for the device constraint prefilter's tolerance:
+    |sum error| <= eps32 * ~log2(L) * L * max|x in window|, so a guard scaled
+    by the window's own max-abs (from the min/max tracks) can never falsely
+    dismiss; see parallel/query.make_dense_probe_step_flags_pallas)."""
+    s1 = _unit_sliding_sum(x, L)
+    s2 = _unit_sliding_sum(x * x, L)
+    lo = _forward_extreme(x, L, jnp.minimum)
+    hi = _forward_extreme(x, L, jnp.maximum)
+    return s1, s2, lo, hi
+
+
 def sliding_min_max(data: jnp.ndarray, radius: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lemire envelope on device: l[i] = min(data[i-r : i+r+1]), u[i] = max(...),
     with edge clamping (same output as DtwUtils.lowerUpperLemire, DtwUtils.java:50-91,

@@ -163,10 +163,31 @@ def make_dense_query_step(icfg: IndexConfig, length: int, top_k: int = 2048,
 
 
 def pack_segments_batch(segment_lists, scales: Tuple[int, ...]) -> DenseSegments:
-    """Stack per-query DenseSegments into leading-Q arrays for the batched step."""
-    packed = [pack_segments(s, scales) for s in segment_lists]
-    return DenseSegments(*[jnp.stack([getattr(p, f) for p in packed])
-                           for f in DenseSegments._fields])
+    """Stack per-query DenseSegments into leading-Q arrays for the batched step.
+
+    Built entirely in NumPy with ONE device transfer per field: the previous
+    per-query pack + jnp.stack issued ~6 * (Q + 1) tiny device ops, each
+    paying the tunnel round-trip — ~0.4 s of pure dispatch at Q=8 that showed
+    up as phase-1 time at the n=1e8 north-star shape."""
+    S = MAX_SEGMENTS
+    scale_pos = {w: i for i, w in enumerate(scales)}
+    Q = len(segment_lists)
+    scale_idx = np.zeros((Q, S), np.int32)
+    order = np.ones((Q, S), np.int32)
+    mean_lo = np.zeros((Q, S), np.float32)
+    mean_hi = np.zeros((Q, S), np.float32)
+    width = np.ones((Q, S), np.float32)
+    valid = np.zeros((Q, S), bool)
+    for qi, segs in enumerate(segment_lists):
+        k = len(segs)
+        scale_idx[qi, :k] = [scale_pos[s.w] for s in segs]
+        order[qi, :k] = [s.order for s in segs]
+        mean_lo[qi, :k] = [s.mean_lo for s in segs]
+        mean_hi[qi, :k] = [s.mean_hi for s in segs]
+        width[qi, :k] = [float(s.w) for s in segs]
+        valid[qi, :k] = True
+    return DenseSegments(*(jnp.asarray(a) for a in (
+        scale_idx, order, mean_lo, mean_hi, width, valid)))
 
 
 def make_dense_query_step_batched(icfg: IndexConfig, length: int,
@@ -615,9 +636,35 @@ def make_dense_probe_step_flags(icfg: IndexConfig, length: int,
     return jax.jit(step, static_argnames=())
 
 
+def make_cons_stats_prog(length: int):
+    """One-time builder for the cached constraint-stat stack: f32[3, npad]
+    rows (window sum, window sum-of-squares, window max|x|) at width
+    ``length`` over the padded series.  Positions whose window crosses the
+    fly padding produce garbage rows — they are masked by pos < m in the
+    consumer.  ~12 bytes/point of HBM; engines cache it per (data, L) so the
+    flag probe's constraint AND reads precomputed rows instead of recomputing
+    the ~50 doubling passes per batch (measured ~1.5 s/batch at n=1e8)."""
+    import functools
+
+    @functools.partial(jax.jit)
+    def prog(data_padded):
+        from ..ops.sliding import sliding_window_stats_fwd
+        npad = data_padded.shape[0]
+        s1, s2, lo, hi = sliding_window_stats_fwd(data_padded, length)
+        amax = jnp.maximum(jnp.abs(lo), jnp.abs(hi))
+        pad = npad - s1.shape[0]
+        out = jnp.stack([jnp.pad(s1, (0, pad)), jnp.pad(s2, (0, pad)),
+                         jnp.pad(amax, (0, pad))])
+        return out
+
+    return prog
+
+
 def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
                                        norm: bool = False,
-                                       scales: Tuple[int, ...] | None = None):
+                                       scales: Tuple[int, ...] | None = None,
+                                       interpret: bool = False,
+                                       cached_stats: bool = False):
     """Flood-mode dense phase 1 via the FUSED Pallas probe kernel.
 
     Identical contract to ``make_dense_probe_step_flags`` (same on-the-fly
@@ -628,6 +675,18 @@ def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
     Q=8 (VERDICT r4 missing #2).  Flags come out at FLAG=128-position
     granularity (one per lane row) instead of the XLA step's 256.
 
+    For the cNSM variant (norm=True) each block additionally evaluates the
+    EXACT alpha/beta constraint test per position — width-L window mean/sigma
+    from log-depth sliding sums, widened by a per-window rounding bound
+    scaled by the window's own max-|x| (ops/sliding.sliding_window_stats_fwd)
+    so a true answer can never be dismissed — and ANDs it into the flag
+    bitmap.  At flood shapes this is the filter that makes the reference's
+    scalar phase 2 fast (NormQueryEngine.java:484-527's running-stats
+    constraint test), applied wholesale at HBM bandwidth; it collapses the
+    22.5M-candidate n=1e8 flood to the handful of windows phase 2 must
+    actually distance-check.  Counts stay PROBE-only (the exact phase-1
+    bound's candidate count, comparable across routes).
+
     Args: (data_padded f32[n + fly_pad_for(...)], segs DenseSegments (leading
     Q), eps2 f32[Q], cons f32[Q, 4], n_total i32) ->
     (n_offsets i32[Q] exact candidate counts, flags bool[Q, NF]) with flag j
@@ -635,7 +694,7 @@ def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
     """
     from ..ops.probe_pallas import (FLAG, LANES, RT, TILE, probe_flags_tiles,
                                     views_for)
-    from ..ops.sliding import build_buckets
+    from ..ops.sliding import build_buckets, sliding_window_stats_fwd
 
     scales = scales or tuple(icfg.scales)
     w_max = max(scales)
@@ -644,8 +703,15 @@ def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
     nv = views_for(length, unit)
     halo = (nv - 1) * TILE          # bucket-window halo for segment shifts
     FL = TILE // FLAG
+    inv_l = np.float32(1.0 / length)
+    # f32 rounding-bound multipliers for the constraint guard: balanced-tree
+    # window sums err below eps32 * (log2(L) + 2) * L * max|x|; factor-4
+    # safety covers the f32 data rounding and the mean/var compositions.
+    KM = np.float32(4 * (np.log2(max(length, 2)) + 2) * np.finfo(np.float32).eps)
+    KV = np.float32(8 * (np.log2(max(length, 2)) + 2) * np.finfo(np.float32).eps)
 
-    def step(data_padded, segs: DenseSegments, eps2, cons, n_total):
+    def step(data_padded, segs: DenseSegments, eps2, cons, n_total,
+             stats3=None):
         Q = eps2.shape[0]
         npad = data_padded.shape[0]
         n_hi = npad - fly_pad_for(length, w_max)  # >= true n; bounds the loop
@@ -660,6 +726,31 @@ def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
         ivalid = segs.valid.astype(jnp.int32)
         eps2c = eps2[:, None]
 
+        def cons_flags(piece, p0, pos_ok):
+            """bool[Q, blk//FLAG]: block holds >= 1 position passing the
+            guarded alpha/beta window constraint (norm only)."""
+            if cached_stats:
+                st = jax.lax.dynamic_slice(stats3, (0, p0), (3, blk))
+                s1, s2, amax = st[0], st[1], st[2]
+            else:
+                s1, s2, lo, hi = sliding_window_stats_fwd(
+                    piece[: blk + length], length)
+                s1, s2 = s1[:blk], s2[:blk]
+                amax = jnp.maximum(jnp.abs(lo[:blk]), jnp.abs(hi[:blk]))
+            mean = s1 * inv_l
+            var = jnp.maximum(s2 * inv_l - mean * mean, 0.0)
+            m_tol = KM * amax + np.float32(1e-7)
+            v_tol = KV * amax * amax + 2 * amax * m_tol + np.float32(1e-7)
+            alpha = cons[:, 0][:, None]
+            beta = cons[:, 1][:, None]
+            mu_q = cons[:, 2][:, None]
+            sd_q = cons[:, 3][:, None]
+            ok = ((jnp.abs(mean[None, :] - mu_q) <= beta + m_tol[None, :])
+                  & (var[None, :] <= (alpha * sd_q) ** 2 + v_tol[None, :])
+                  & (var[None, :] >= (sd_q / alpha) ** 2 - v_tol[None, :]))
+            ok = ok & pos_ok[None, :]
+            return jnp.any(ok.reshape(Q, blk // FLAG, FLAG), axis=2)
+
         def body(b, carry):
             n_off, flags = carry
             p0 = b * blk
@@ -672,8 +763,12 @@ def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
                 bwin3, segs.scale_idx, segs.order, ivalid,
                 segs.mean_lo, segs.mean_hi, segs.width, eps2c, cons, iscal,
                 length=length, unit=unit, d=icfg.d,
-                slack=float(icfg.probe_guard), norm=norm)
+                slack=float(icfg.probe_guard), norm=norm,
+                interpret=interpret)
             f = (flags_t.transpose(1, 0, 2).reshape(Q, NT * FL)) > 0
+            if norm:
+                pos_ok = p0 + jnp.arange(blk, dtype=jnp.int32) < m
+                f = f & cons_flags(piece, p0, pos_ok)
             flags = jax.lax.dynamic_update_slice(flags, f, (0, b * NT * FL))
             return n_off + counts, flags
 

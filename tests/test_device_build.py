@@ -132,3 +132,56 @@ def test_spill_mode_identical_index(data):
         pa, pb = a.pos_sorted(), b.pos_sorted()
         for x, y in zip(pa, pb):
             assert np.array_equal(x, y), w
+
+
+def test_stats_only_build_exact_histograms(data):
+    """Serving-mode build: per-bucket offset/interval stats must equal a
+    direct NumPy histogram with the cap-RLE interval counting."""
+    import jax.numpy as jnp
+    from kvmatch_tpu.ops.sliding import build_buckets
+
+    cfg = IndexConfig()
+    cap = cfg.maximum_diff - 1
+    st = {}
+    index = db.build_index_device_stats(data, cfg, stats=st)
+    assert st["mpts_per_second"] > 0
+    buckets = build_buckets(jnp.asarray(data, jnp.float32),
+                            tuple(cfg.scales), cfg.pos_of_d)
+    from kvmatch_tpu.utils import rounding
+    for w, sc in index.items():
+        assert sc.stats_only
+        b = np.asarray(buckets[w]).astype(np.int64)
+        ub, counts = np.unique(b, return_counts=True)
+        np.testing.assert_allclose(sc.keys,
+                                   rounding.bucket_to_key(ub, cfg.pos_of_d))
+        np.testing.assert_array_equal(np.diff(sc.cum_offsets,
+                                              prepend=0), counts)
+        # capped interval counts: RLE runs split at cap
+        pos = np.arange(b.size)
+        change = np.concatenate(([True], b[1:] != b[:-1]))
+        run_start = np.maximum.accumulate(np.where(change, pos, -1))
+        start = change | ((pos - run_start) % cap == 0)
+        iv_counts = np.zeros(ub.size, np.int64)
+        np.add.at(iv_counts, np.searchsorted(ub, b[start]), 1)
+        np.testing.assert_array_equal(np.diff(sc.cum_intervals, prepend=0),
+                                      iv_counts)
+        with pytest.raises(RuntimeError, match="stats-only"):
+            _ = sc.left
+
+
+def test_stats_only_index_serves_fly_route_exactly(data):
+    """cNSM engine over a stats-only index (device dense-probe phase 1) must
+    return the exact answer set."""
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.oracle import nsm_ed
+
+    cfg = IndexConfig()
+    index = db.build_index_device_stats(data, cfg)
+    qcfg = QueryConfig.tpu_tuned(dense_probe_min_count=0)
+    eng = NormQueryEngine(data, index=index, icfg=cfg, qcfg=qcfg)
+    rng = np.random.default_rng(5)
+    for o in rng.integers(0, N - 512, 3):
+        q = data[o:o + 512]
+        res = eng.query(q, 5.0, alpha=1.3, beta=8.0)
+        ref_o, _ = nsm_ed(data, q, 5.0, alpha=1.3, beta=8.0)
+        assert sorted(res.offsets.tolist()) == sorted(ref_o.tolist())

@@ -64,6 +64,8 @@ def test_rsm_dtw_rho_zero_equals_ed(setup):
     assert set(r1.offsets.tolist()) == set(r2.offsets.tolist())
 
 
+@pytest.mark.slow  # ~2 min of XLA compiles; the quick lane keeps the
+# parametrized parity tests that cover the same kernels
 def test_skip_lb_route_matches_cascade_route():
     """dtw_skip_lb_max routes tiny candidate sets straight to the banded DP;
     answers must equal the LB-cascade route's exactly (the cascade is only a

@@ -96,3 +96,69 @@ def test_probe_kernel_matches_xla_probe(norm):
     np.testing.assert_array_equal(np.asarray(counts), ref_counts)
     np.testing.assert_array_equal(got_flags, ref_flags)
     assert ref_counts.min() >= 1  # self-query offsets must be candidates
+
+
+def test_flags_pallas_step_constraint_and_sound():
+    """The full Pallas flag step (blocked driver + device constraint AND for
+    cNSM) must (a) never dismiss an exact answer's block, (b) only REMOVE
+    flags relative to the probe-only bitmap, (c) keep probe-exact counts."""
+    from kvmatch_tpu.data.generators import generate_series
+    from kvmatch_tpu.engine.norm_ed import NormQueryEngine
+    from kvmatch_tpu.index.build import build_index_tpu
+    from kvmatch_tpu.oracle import nsm_ed
+    from kvmatch_tpu.parallel.query import (
+        FLY_FILL, fly_pad_for, make_dense_probe_step_flags,
+        make_dense_probe_step_flags_pallas, pack_segments_batch)
+
+    icfg = IndexConfig()
+    n, L, Q = 60_000, 512, 2
+    data = generate_series(n, seed=11)
+    index = build_index_tpu(data, icfg, backend="host")
+    eng = NormQueryEngine(data, index=index, icfg=icfg)
+    rng = np.random.default_rng(3)
+    offs = rng.integers(0, n - L, Q)
+    alpha, beta, eps = 1.3, 8.0, 6.0
+    # plans + cons exactly as the engine builds them
+    from kvmatch_tpu.engine.base import QueryStats, _Ctx
+    ctxs, seg_lists = [], []
+    for o in offs:
+        ctx = _Ctx(query=data[o:o + L], length=L, epsilon=eps, eps2=eps * eps,
+                   params={"alpha": alpha, "beta": beta}, stats=QueryStats())
+        seg_lists.append(eng._plan(ctx))
+        ctxs.append(ctx)
+    segs = pack_segments_batch(seg_lists, tuple(icfg.scales))
+    cons = jnp.asarray([[alpha, beta, c.params["_mu_q"], c.params["_sd_q"]]
+                        for c in ctxs], jnp.float32)
+    eps2 = jnp.full(Q, eps * eps, jnp.float32)
+    pad = fly_pad_for(L, max(icfg.scales))
+    data_p = jnp.concatenate([jnp.asarray(data, jnp.float32),
+                              jnp.full(pad, FLY_FILL, jnp.float32)])
+
+    pal = make_dense_probe_step_flags_pallas(icfg, L, norm=True,
+                                             interpret=INTERPRET)
+    n_off, flags = pal(data_p, segs, eps2, cons, jnp.int32(n))
+    n_off, flags = np.asarray(n_off), np.asarray(flags)
+    xla = make_dense_probe_step_flags(icfg, L, flag_block=FLAG, norm=True)
+    nx, fx = (np.asarray(a) for a in xla(data_p, segs, eps2, cons,
+                                         jnp.int32(n)))
+    # (c) probe-exact counts unchanged by the constraint AND
+    np.testing.assert_array_equal(n_off, nx)
+    k = min(flags.shape[1], fx.shape[1])
+    # (b) constraint only removes flags
+    assert not (flags[:, :k] & ~fx[:, :k]).any()
+    # (a) every exact cNSM answer lands in a flagged block
+    for qi, o in enumerate(offs):
+        ans, _ = nsm_ed(data, data[o:o + L], eps, alpha=alpha, beta=beta)
+        assert len(ans) >= 1 and o in ans.tolist()
+        blocks = np.asarray(ans) // FLAG
+        assert flags[qi][blocks].all(), f"query {qi}: answer block dismissed"
+    # the constraint must actually prune something at this workload
+    assert flags.sum() < fx[:, :k].sum()
+    # cached-stats variant (precomputed window stats) is bit-identical
+    from kvmatch_tpu.parallel.query import make_cons_stats_prog
+    pal_c = make_dense_probe_step_flags_pallas(
+        icfg, L, norm=True, interpret=INTERPRET, cached_stats=True)
+    stats3 = make_cons_stats_prog(L)(data_p)
+    n_off_c, flags_c = pal_c(data_p, segs, eps2, cons, jnp.int32(n), stats3)
+    np.testing.assert_array_equal(np.asarray(n_off_c), n_off)
+    np.testing.assert_array_equal(np.asarray(flags_c), flags)
