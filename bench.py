@@ -124,6 +124,17 @@ def main() -> int:
     # minutes and must not pollute any measurement.
     _ = np.asarray(jnp.ones(1024))
 
+    # Fixed per-launch round-trip of this attachment (tunnel-dependent):
+    # median of 5 trivial dispatch+pull cycles.  Single-query latencies below
+    # carry k of these floors; *_direct_attach_est_ms fields subtract them to
+    # estimate direct-attached latency (VERDICT r4 next #7).
+    _tiny = jax.jit(lambda x: x + 1)
+    _ = np.asarray(_tiny(jnp.float32(0)))
+    launch_floor_ms = statistics.median(
+        [(lambda t0: (np.asarray(_tiny(jnp.float32(i)),),
+                      (time.perf_counter() - t0) * 1e3)[1])(time.perf_counter())
+         for i in range(5)])
+
     from kvmatch_tpu.config import IndexConfig, QueryConfig
     from kvmatch_tpu.data.generators import generate_series
     from kvmatch_tpu.engine.norm_ed import NormQueryEngine
@@ -353,8 +364,19 @@ def main() -> int:
             # TPU (no interval materialization, no D2H beyond 8 MB/scale).
             # The full interval build (build_index_device) serves the host
             # phase-1 route and persistence and is exercised by tests.
+            # one H2D of the f32 series, shared by the build and the engine
+            t0 = time.perf_counter()
+            data_dev8 = jnp.asarray(data8, jnp.float32)
+            data_dev8.block_until_ready()
+            northstar["series_h2d_s"] = round(time.perf_counter() - t0, 2)
             bst: dict = {}
-            index8 = build_index_device_stats(data8, icfg, stats=bst)
+            index8 = build_index_device_stats(data8, icfg, stats=bst,
+                                              data_dev=data_dev8)
+            northstar["device_build_mpts_per_s_1e8_cold"] = round(
+                bst["mpts_per_second"], 1)
+            bst = {}
+            index8 = build_index_device_stats(data8, icfg, stats=bst,
+                                              data_dev=data_dev8)
             northstar["device_build_mpts_per_s_1e8"] = round(
                 bst["mpts_per_second"], 1)
             for k in ("build_seconds", "h2d_seconds", "device_seconds",
@@ -366,10 +388,13 @@ def main() -> int:
             q8 = np.stack([data8[o:o + L] for o in offs8])
             # Serving route: device fly probe (fused Pallas flags kernel with
             # the guarded alpha/beta constraint AND) + device verify.
-            qcfg_fly = dataclasses.replace(
-                qcfg, dense_probe_min_count=2_000_000)
+            # dense_probe_min_count=0: at n=1e8 even "selective" plans cost
+            # ~1-2 s of host interval algebra per query, while the fused
+            # probe answers the whole batch in ~0.3 s — route everything
+            # through the device.
+            qcfg_fly = dataclasses.replace(qcfg, dense_probe_min_count=0)
             eng8 = NormQueryEngine(data8, index=index8, icfg=icfg,
-                                   qcfg=qcfg_fly)
+                                   qcfg=qcfg_fly, device_data=data_dev8)
             # warm with the FULL batch: probe programs are shape-keyed on Q,
             # so a smaller warmup leaves the real program's compile inside
             # the timed region (engine repeats do not memoize)
@@ -417,7 +442,7 @@ def main() -> int:
             northstar["cnsm_1e8_speedup_vs_twin_measured"] = round(
                 northstar["twin_cnsm_1e8_ms"]
                 * northstar["cnsm_ed_1e8_qps"] / 1000.0, 2)
-            del twin8, eng8, index8, index8h, data8
+            del twin8, eng8, index8, index8h, data8, data_dev8
             gc.collect()
 
     def _r(x, nd=1):
@@ -474,6 +499,14 @@ def main() -> int:
             "rsm_dtw_speedup_vs_twin_measured": _r(
                 twin_dtw_ms / rsm_dtw_ms, 1),
             "rsm_dtw_query_ms": _r(rsm_dtw_ms, 1),
+            # The single-query DTW path pays 2 device launches (banded DP +
+            # DS confirm) across this attachment's measured launch floor; a
+            # direct-attached chip pays ~1-2 ms each.
+            "tunnel_launch_floor_ms": _r(launch_floor_ms, 1),
+            "rsm_dtw_direct_attach_est_ms": _r(
+                max(rsm_dtw_ms - 2 * launch_floor_ms, 0.0), 1),
+            "rsm_dtw_direct_attach_est_speedup": _r(
+                twin_dtw_ms / max(rsm_dtw_ms - 2 * launch_floor_ms, 1e-9), 1),
             "cnsm_dtw_batch_qps": _r(cnsm_dtw_qps, 3),
             "twin_cnsm_dtw_ms_measured": _r(twin_cnsm_dtw_ms, 0),
             "cnsm_dtw_speedup_vs_twin_measured": _r(

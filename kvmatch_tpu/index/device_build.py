@@ -390,13 +390,13 @@ def _numpy_twin_scale(b: np.ndarray, cap: int, count_factor: float,
     return p_left, p_right, p_row, grp_bucket, g_n_iv, g_n_off
 
 
-@functools.lru_cache(maxsize=1)
+@functools.lru_cache(maxsize=4)
 def _pipeline_stats_jit():
     import jax
-    return jax.jit(_scale_pipeline_stats, static_argnames=("cap",))
+    return jax.jit(_scale_pipeline_stats, static_argnames=("cap", "nbs"))
 
 
-def _scale_pipeline_stats(b, bucket_lo, n_valid, cap: int):
+def _scale_pipeline_stats(b, bucket_lo, n_valid, cap: int, nbs: int):
     """Stats-only pipeline: EXACT per-bucket (offset, capped-interval)
     histograms, no interval materialization.
 
@@ -414,10 +414,18 @@ def _scale_pipeline_stats(b, bucket_lo, n_valid, cap: int):
     the planner sees FINER (never coarser) selectivity estimates — plans can
     only tighten, and phase 2 is exact regardless.
 
-    b: i32[M] bucket ids, positions >= n_valid carry _SENT.
-    Returns (hist_off i32[NB], hist_iv i32[NB]) indexed by (bucket -
-    bucket_lo); crossing to the host costs 8 MB per scale.
+    Histogramming is SORT-based: XLA's TPU scatter runs at ~110M updates/s
+    at M=1e8 while lax.sort runs at ~270M keys/s (scripts measured 900 ms vs
+    368 ms), so counts come from one sort of the composite key
+    (bucket - lo) * 2 + is_interval_start followed by a searchsorted over
+    the (host-known, ``nbs``-bounded) bucket span — the narrow query side
+    keeps the binary search at ~30 ms.
+
+    b: i32[M] bucket ids, positions >= n_valid carry _SENT; ``nbs`` is a
+    static power-of-two >= the bucket span.  Returns (hist_off i32[nbs],
+    hist_iv i32[nbs]) indexed by (bucket - bucket_lo).
     """
+    import jax
     import jax.numpy as jnp
 
     M = b.shape[0]
@@ -426,15 +434,20 @@ def _scale_pipeline_stats(b, bucket_lo, n_valid, cap: int):
     change = jnp.concatenate([jnp.ones(1, bool), b[1:] != b[:-1]])
     run_start = _prefix_max(jnp.where(change, pos, -1))
     start = (change | ((pos - run_start) % cap == 0)) & valid
-    hidx = jnp.where(valid, jnp.clip(b - bucket_lo, 0, NB - 1), NB)
-    hist_off = jnp.zeros(NB + 1, jnp.int32).at[hidx].add(1, mode="drop")[:NB]
-    hist_iv = jnp.zeros(NB + 1, jnp.int32).at[hidx].add(
-        start.astype(jnp.int32), mode="drop")[:NB]
-    return hist_off, hist_iv
+    comp = jnp.where(valid,
+                     jnp.clip(b - bucket_lo, 0, nbs - 1) * 2
+                     + start.astype(jnp.int32),
+                     jnp.int32(2 * nbs))
+    sc = jax.lax.sort(comp)
+    edges = jnp.arange(2 * nbs + 1, dtype=jnp.int32)
+    cnt = jnp.searchsorted(sc, edges, side="left")
+    per = (cnt[1:] - cnt[:-1]).reshape(nbs, 2)
+    return per[:, 0] + per[:, 1], per[:, 1]
 
 
 def build_index_device_stats(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
-                             stats: Optional[dict] = None) -> Index:
+                             stats: Optional[dict] = None,
+                             data_dev=None) -> Index:
     """Serving-mode device build: planner statistics only, built entirely on
     the TPU (one bucket pass + one cummax + two histogram scatter-adds per
     scale; ~8 MB/scale crosses to the host).  The returned IndexScales carry
@@ -460,15 +473,21 @@ def build_index_device_stats(data, cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
             f"mean-bucket range {bucket_hi - bucket_lo} exceeds the device "
             f"histogram capacity {NB}; use the host builder for this data")
     t0 = time.perf_counter()
-    data_dev = jnp.asarray(data, jnp.float32)
+    if data_dev is None:
+        # ``data_dev``: serving deployments already hold the f32 series in
+        # HBM (engine.data_dev) — pass it to skip the duplicate upload.
+        data_dev = jnp.asarray(data, jnp.float32)
     t_h2d = time.perf_counter() - t0
 
+    # static bucket-span bound, rounded to a power of two so the jit cache
+    # stays small across datasets
+    nbs = 1 << max(bucket_hi - bucket_lo + 2, 2).bit_length()
     t0 = time.perf_counter()
     pend = {}
     for w in scales:
         b = _bucket_prog(w, u, cfg.pos_of_d)(data_dev)
         pend[w] = _pipeline_stats_jit()(b, jnp.int32(bucket_lo),
-                                        jnp.int32(n - w + 1), cap)
+                                        jnp.int32(n - w + 1), cap, nbs)
         del b
     hists = jax.device_get(pend)
     t_dev = time.perf_counter() - t0
