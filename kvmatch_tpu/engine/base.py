@@ -822,14 +822,19 @@ class BaseEngine:
                 np.asarray(run_r), cand_k)
 
     def _dense_probe_retry(self, ctxs, seg_lists):
-        """Fly probe with a two-stage overflow ladder: queries whose
-        run-compressed candidate set overflows the K-run buffer at gap=1 are
-        re-probed once with gap-coalescing (runs separated by < unit collapse
-        into one interval), and anything still overflowing takes the FLAG
-        probe — a fixed-size per-block candidate bitmap that cannot overflow
-        at any density (VERDICT r2 item 3: the n=1e8 cNSM flood fragments
-        into >8M runs/query).  Interior gap / flag-block positions are
-        over-coverage the exact phase 2 rejects — sound by construction.
+        """Dense phase 1 emission, route per QueryConfig.dense_probe_emit.
+
+        ON TPU ('auto' -> 'flags') every query takes the FLAG probe directly:
+        one fused Pallas pass emitting a fixed-size per-128-position candidate
+        bitmap (plus the device constraint AND for cNSM) — no run buffers, no
+        overflow at any density.  Flag-block over-coverage is rejected by the
+        exact phase 2 (tests/test_probe_pallas.py asserts soundness and
+        subset-ness; tests/test_dense_route.py covers bitmap semantics; the
+        bench's 8/8 and 128/128 self-found fields exercise it on real TPU).
+
+        ON CPU ('auto' -> 'runs') the run-compressed emission keeps exact
+        interval edges, with the overflow ladder: gap=1, then gap-coalesced
+        (< unit), then the flag probe as the density-proof backstop.
         Returns {query_index_in_group: (left i64, right i64)}; every query in
         the group is present (no host fallback needed)."""
         import jax

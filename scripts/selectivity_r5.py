@@ -74,7 +74,9 @@ def fill_decades(eng, eps_grid, params, seed):
         offs = rng.integers(0, N - L, 32)
         eps = rng.choice(eps_grid, 32)
         queries = np.stack([data[o:o + L] for o in offs])
+        t0 = time.perf_counter()
         res = eng.query_batch(queries, eps, **params)
+        log(section="sweep_batch_s", s=round(time.perf_counter() - t0, 1))
         for o, e, r in zip(offs, eps, res):
             d = decade_of(r.stats.n_answers)
             if d in bins and len(bins[d]) < PER_DECADE:
@@ -114,13 +116,13 @@ def replay(eng, name, bins, params):
 
 log(section="engine", name="rsm_ed")
 eng = QueryEngine(data, index=index, icfg=icfg, qcfg=qcfg)
-bins = fill_decades(eng, np.array([2.0, 5.0, 10.0, 20.0, 40.0, 80.0]), {}, 7)
+bins = fill_decades(eng, np.array([2.0, 4.0, 7.0, 10.0, 14.0, 20.0]), {}, 7)
 replay(eng, "rsm_ed", bins, {})
 
 log(section="engine", name="cnsm_ed")
 neng = NormQueryEngine(data, index=index, icfg=icfg, qcfg=qcfg,
                        device_data=eng.data_dev)
-nbins = fill_decades(neng, np.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+nbins = fill_decades(neng, np.array([1.0, 2.0, 3.0, 4.0, 6.0, 8.0]),
                      {"alpha": 1.2, "beta": 5.0}, 8)
 replay(neng, "cnsm_ed", nbins, {"alpha": 1.2, "beta": 5.0})
 log(section="done")
