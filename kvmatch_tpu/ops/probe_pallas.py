@@ -104,6 +104,11 @@ def _probe_kernel(Q: int, S: int, s_seg: int, nv: int, qp: int, length: int,
             sd_q = fcons_ref[q, 3]
             s_small = sd_q / alpha
             s_big = alpha * sd_q
+            # scalar reciprocals (see parallel/query._dense_probe_norm: the
+            # vector forms below multiply instead of divide; identical math)
+            inv_big = np.float32(1.0) / s_big
+            inv_small = np.float32(1.0) / s_small
+            inv_sd = np.float32(1.0) / sd_q
 
             def seg_body(s, carry):
                 acc, exlo, exup, ex2lo, punits = carry
@@ -129,10 +134,12 @@ def _probe_kernel(Q: int, S: int, s_seg: int, nv: int, qp: int, length: int,
                 if norm:
                     n_lo = key_lo - (mu_q + beta)
                     n_hi = key_hi - (mu_q - beta)
-                    z_lo = jnp.where(n_lo >= 0, n_lo / s_big, n_lo / s_small)
-                    z_hi = jnp.where(n_hi >= 0, n_hi / s_small, n_hi / s_big)
-                    zq_lo = (mlo - mu_q) / sd_q
-                    zq_hi = (mhi - mu_q) / sd_q
+                    z_lo = jnp.where(n_lo >= 0, n_lo * inv_big,
+                                     n_lo * inv_small)
+                    z_hi = jnp.where(n_hi >= 0, n_hi * inv_small,
+                                     n_hi * inv_big)
+                    zq_lo = (mlo - mu_q) * inv_sd
+                    zq_hi = (mhi - mu_q) * inv_sd
                     delta = jnp.maximum(
                         jnp.maximum(z_lo - zq_hi, zq_lo - z_hi), 0.0)
                     acc = acc + vmul * (width * delta * delta)

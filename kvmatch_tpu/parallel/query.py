@@ -240,6 +240,13 @@ def _dense_probe_norm(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
     engine/norm_ed.py's _scan + _combine filters)."""
     s_small = sd_q / alpha
     s_big = alpha * sd_q
+    # Scalar reciprocals once: a vector/scalar divide per segment is a
+    # multi-cycle VPU op; multiply-by-reciprocal is one.  The <= 1-ulp
+    # difference is far inside the probe_guard slack (and the Pallas kernel
+    # computes the identical expression, keeping the two routes bit-equal).
+    inv_big = 1.0 / s_big
+    inv_small = 1.0 / s_small
+    inv_sd = 1.0 / sd_q
 
     def body(carry, sg):
         acc, exlo, exup, ex2lo, punits = carry
@@ -251,10 +258,10 @@ def _dense_probe_norm(bstack: jnp.ndarray, segs: DenseSegments, unit: int,
         key_hi = key_lo + np.float32(d) + 2 * slack
         n_lo = key_lo - (mu_q + beta)
         n_hi = key_hi - (mu_q - beta)
-        z_lo = jnp.where(n_lo >= 0, n_lo / s_big, n_lo / s_small)
-        z_hi = jnp.where(n_hi >= 0, n_hi / s_small, n_hi / s_big)
-        zq_lo = (mean_lo_s - mu_q) / sd_q
-        zq_hi = (mean_hi_s - mu_q) / sd_q
+        z_lo = jnp.where(n_lo >= 0, n_lo * inv_big, n_lo * inv_small)
+        z_hi = jnp.where(n_hi >= 0, n_hi * inv_small, n_hi * inv_big)
+        zq_lo = (mean_lo_s - mu_q) * inv_sd
+        zq_hi = (mean_hi_s - mu_q) * inv_sd
         delta = jnp.maximum(jnp.maximum(z_lo - zq_hi, zq_lo - z_hi), 0.0)
         v = valid
         k_units = width / unit
