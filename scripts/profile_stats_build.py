@@ -104,6 +104,61 @@ def main():
                       "sort_s": round(t_sort, 3),
                       "search_s": round(t_search, 3)}), flush=True)
 
+    # Alternative histogram strategies at the same (M, span) shape: the
+    # compact bucket span (a few hundred values at n=1e8) makes a blocked
+    # compare-reduce viable — no sort, no scatter.
+    span = bucket_hi - bucket_lo + 2  # actual distinct keys (pre-pow2)
+    K = 2 * span + 2
+
+    @jax.jit
+    def comp_key(b, start, n_valid):
+        pos = jnp.arange(M, dtype=jnp.int32)
+        valid = pos < n_valid
+        return jnp.where(valid,
+                         jnp.clip(b - bucket_lo, 0, nbs - 1) * 2
+                         + start.astype(jnp.int32), jnp.int32(K - 1))
+
+    @jax.jit
+    def hist_compare(comp):
+        # (M,) -> (rows, 128) blocked; count each key by equality-compare
+        # against a broadcast iota, reducing over rows inside one fusion.
+        rows = comp.reshape(-1, 128)
+        kv = jnp.arange(K, dtype=jnp.int32)
+        acc = jnp.zeros((K, 128), jnp.int32)
+
+        def body(i, acc):
+            blk = jax.lax.dynamic_slice(rows, (i * 8192, 0), (8192, 128))
+            eq = (blk[None, :, :] == kv[:, None, None]).astype(jnp.int32)
+            return acc + eq.sum(axis=1)
+
+        nb = rows.shape[0] // 8192
+        acc = jax.lax.fori_loop(0, nb, body, acc)
+        return acc.sum(axis=1)
+
+    @jax.jit
+    def hist_scatter(comp):
+        return jnp.zeros(K, jnp.int32).at[comp].add(1, mode="drop")
+
+    comp = comp_key(b, start, nv)
+    jax.block_until_ready(comp)
+    if int(M) % (8192 * 128) == 0:
+        t_cmp, h1 = timeit(hist_compare, comp)
+    else:
+        pad = (-int(M)) % (8192 * 128)
+        compp = jnp.pad(comp, (0, pad), constant_values=K - 1)
+
+        @jax.jit
+        def hc(c):
+            return hist_compare(c)
+
+        t_cmp, h1 = timeit(hc, compp)
+    t_scat, h2 = timeit(hist_scatter, comp)
+    ok = bool(np.array_equal(np.asarray(h1)[:K - 1],
+                             np.asarray(h2)[:K - 1]))
+    print(json.dumps({"span_keys": int(K), "hist_compare_s": round(t_cmp, 3),
+                      "hist_scatter_s": round(t_scat, 3),
+                      "hist_agree": ok}), flush=True)
+
 
 if __name__ == "__main__":
     main()
