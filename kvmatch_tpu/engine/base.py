@@ -894,6 +894,25 @@ class BaseEngine:
             cache[length] = make_cons_stats_prog(length)(data_p)
         return cache[length]
 
+    def _fly_bucket_stack(self, length: int):
+        """Cached i32[S, npad] per-scale bucket-window stack for the Pallas
+        flag probe, or None when it would not fit the HBM budget (4*S
+        bytes/point).  Query-independent: recomputing it per pass costs the
+        sliding-sum + bucketize passes on every one of the ~24 blocks at
+        n=1e8, every batch."""
+        from ..parallel.query import _device_mem_bytes, make_bucket_stack_prog
+        data_p = self._fly_padded_dev(length)
+        nbytes = int(data_p.shape[0]) * 4 * len(self.icfg.scales)
+        if nbytes > 0.2 * _device_mem_bytes():
+            return None
+        cache = getattr(self, "_bucket_stack_cache", None)
+        if cache is None:
+            cache = self._bucket_stack_cache = {}
+        if length not in cache:
+            cache[length] = make_bucket_stack_prog(
+                self.icfg, tuple(self.icfg.scales))(data_p)
+        return cache[length]
+
     def _device_dense_phase1_flags(self, ctxs, seg_lists):
         """Overflow-proof flood phase 1: one fly-probe pass emitting per-block
         candidate flags (bool[Q, n/F]) plus exact candidate counts.  Output
@@ -911,14 +930,17 @@ class BaseEngine:
         norm = "alpha" in ctxs[0].params
         use_pallas = pallas_probe_available()
         stats3 = self._fly_cons_stats(L) if (use_pallas and norm) else None
+        bstack3 = self._fly_bucket_stack(L) if use_pallas else None
         if not hasattr(self, "_flag_steps"):
             self._flag_steps = {}
-        key = (L, norm, len(ctxs), use_pallas, stats3 is not None)
+        key = (L, norm, len(ctxs), use_pallas, stats3 is not None,
+               bstack3 is not None)
         if key not in self._flag_steps:
             if use_pallas:
                 self._flag_steps[key] = make_dense_probe_step_flags_pallas(
                     self.icfg, L, norm=norm,
-                    cached_stats=stats3 is not None)
+                    cached_stats=stats3 is not None,
+                    cached_buckets=bstack3 is not None)
             else:
                 self._flag_steps[key] = make_dense_probe_step_flags(
                     self.icfg, L, flag_block=self.FLAG_BLOCK, norm=norm)
@@ -932,9 +954,9 @@ class BaseEngine:
                                 for c in ctxs], jnp.float32)
         else:
             cons = jnp.zeros((len(ctxs), 4), jnp.float32)
-        if stats3 is not None:
+        if use_pallas:
             n_off, flags = step(data_p, segs, eps2, cons, jnp.int32(self.n),
-                                stats3)
+                                stats3=stats3, bstack3=bstack3)
         else:
             n_off, flags = step(data_p, segs, eps2, cons, jnp.int32(self.n))
         from ..ops.probe_pallas import FLAG as _PF

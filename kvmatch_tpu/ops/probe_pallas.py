@@ -134,10 +134,12 @@ def _probe_kernel(Q: int, S: int, s_seg: int, nv: int, qp: int, length: int,
                 if norm:
                     n_lo = key_lo - (mu_q + beta)
                     n_hi = key_hi - (mu_q - beta)
-                    z_lo = jnp.where(n_lo >= 0, n_lo * inv_big,
-                                     n_lo * inv_small)
-                    z_hi = jnp.where(n_hi >= 0, n_hi * inv_small,
-                                     n_hi * inv_big)
+                    # branch-free z picks: inv_small >= inv_big > 0 (alpha
+                    # >= 1), so the sign-dependent where-selects collapse to
+                    # min/max over the two products — same value, 1 op fewer
+                    # each on the kernel's hot path.
+                    z_lo = jnp.minimum(n_lo * inv_big, n_lo * inv_small)
+                    z_hi = jnp.maximum(n_hi * inv_small, n_hi * inv_big)
                     zq_lo = (mlo - mu_q) * inv_sd
                     zq_hi = (mhi - mu_q) * inv_sd
                     delta = jnp.maximum(
@@ -145,9 +147,11 @@ def _probe_kernel(Q: int, S: int, s_seg: int, nv: int, qp: int, length: int,
                     acc = acc + vmul * (width * delta * delta)
                     exlo = exlo + vmul * (key_lo * k_units)
                     exup = exup + vmul * (key_hi * k_units)
-                    sq = jnp.where(key_lo > 0, key_lo * key_lo,
-                                   jnp.where(key_hi < 0, key_hi * key_hi, 0.0))
-                    ex2lo = ex2lo + vmul * (sq * k_units)
+                    # sq = min-|value| of the [key_lo, key_hi] interval,
+                    # squared: key_lo > 0 -> key_lo^2, key_hi < 0 -> key_hi^2,
+                    # straddling zero -> 0.  max+min form: 4 ops vs 6.
+                    sq_r = jnp.maximum(key_lo, 0.0) + jnp.minimum(key_hi, 0.0)
+                    ex2lo = ex2lo + vmul * (sq_r * sq_r * k_units)
                     punits = punits + vmul * k_units
                 else:
                     delta = jnp.maximum(

@@ -667,11 +667,37 @@ def make_cons_stats_prog(length: int):
     return prog
 
 
+def make_bucket_stack_prog(icfg: IndexConfig,
+                           scales: Tuple[int, ...] | None = None):
+    """One-time builder for the cached bucket-window stack: i32[S, npad]
+    per-scale bucket ids over the padded series.  The stack is QUERY-
+    INDEPENDENT — recomputing it inside every probe pass (sliding sums +
+    bucketize per block, ~24 blocks at n=1e8) is pure repeated work once a
+    series serves more than one batch.  4*S bytes/point of HBM; positions in
+    the fly padding bucketize the FLY_FILL sentinel (prune-everything), same
+    as the per-block recompute."""
+    import functools
+
+    scales = tuple(scales or icfg.scales)
+
+    @functools.partial(jax.jit)
+    def prog(data_padded):
+        from ..ops.sliding import build_buckets
+        npad = data_padded.shape[0]
+        bk = build_buckets(data_padded, scales, icfg.pos_of_d)
+        return jnp.stack([jnp.pad(bk[w], (0, npad - bk[w].shape[0]),
+                                  constant_values=np.int32(2**30))
+                          for w in scales])
+
+    return prog
+
+
 def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
                                        norm: bool = False,
                                        scales: Tuple[int, ...] | None = None,
                                        interpret: bool = False,
-                                       cached_stats: bool = False):
+                                       cached_stats: bool = False,
+                                       cached_buckets: bool = False):
     """Flood-mode dense phase 1 via the FUSED Pallas probe kernel.
 
     Identical contract to ``make_dense_probe_step_flags`` (same on-the-fly
@@ -718,7 +744,7 @@ def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
     KV = np.float32(8 * (np.log2(max(length, 2)) + 2) * np.finfo(np.float32).eps)
 
     def step(data_padded, segs: DenseSegments, eps2, cons, n_total,
-             stats3=None):
+             stats3=None, bstack3=None):
         Q = eps2.shape[0]
         npad = data_padded.shape[0]
         n_hi = npad - fly_pad_for(length, w_max)  # >= true n; bounds the loop
@@ -761,9 +787,18 @@ def make_dense_probe_step_flags_pallas(icfg: IndexConfig, length: int,
         def body(b, carry):
             n_off, flags = carry
             p0 = b * blk
-            piece = jax.lax.dynamic_slice(data_padded, (p0,), (need,))
-            bk = build_buckets(piece, scales, icfg.pos_of_d)
-            bwin = jnp.stack([bk[w][: blk + halo] for w in scales])
+            piece = None
+            if not cached_buckets or (norm and not cached_stats):
+                piece = jax.lax.dynamic_slice(data_padded, (p0,), (need,))
+            if cached_buckets:
+                # Query-independent bucket windows precomputed once per
+                # series (make_bucket_stack_prog): one slice replaces the
+                # per-pass sliding sums + bucketize of every block.
+                bwin = jax.lax.dynamic_slice(bstack3, (0, p0),
+                                             (S, blk + halo))
+            else:
+                bk = build_buckets(piece, scales, icfg.pos_of_d)
+                bwin = jnp.stack([bk[w][: blk + halo] for w in scales])
             bwin3 = bwin.reshape(S, WR, LANES)
             iscal = jnp.stack([p0, m]).reshape(1, 2).astype(jnp.int32)
             flags_t, counts = probe_flags_tiles(

@@ -194,7 +194,7 @@ def test_barrel_probe_bit_identical(setup, monkeypatch):
             else:
                 segs = eng._plan(ctx)
             n1, r1, l1_, rr1, _ = eng._device_dense_phase1([ctx], [segs])
-            nf, flags = eng._device_dense_phase1_flags([ctx], [segs])
+            nf, flags, _F = eng._device_dense_phase1_flags([ctx], [segs])
             key = (cls.__name__,)
             got = (int(n1[0]), int(r1[0]), l1_[0].tolist(), rr1[0].tolist(),
                    int(nf[0]), flags[0].tolist())

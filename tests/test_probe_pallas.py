@@ -162,3 +162,15 @@ def test_flags_pallas_step_constraint_and_sound():
     n_off_c, flags_c = pal_c(data_p, segs, eps2, cons, jnp.int32(n), stats3)
     np.testing.assert_array_equal(np.asarray(n_off_c), n_off)
     np.testing.assert_array_equal(np.asarray(flags_c), flags)
+    # cached-buckets variant (precomputed query-independent bucket stack) is
+    # bit-identical: shifted reads for unmasked positions never touch the
+    # stack's sentinel tail (p + shift <= n - w for every valid segment)
+    from kvmatch_tpu.parallel.query import make_bucket_stack_prog
+    pal_b = make_dense_probe_step_flags_pallas(
+        icfg, L, norm=True, interpret=INTERPRET, cached_stats=True,
+        cached_buckets=True)
+    bstack3 = make_bucket_stack_prog(icfg, tuple(icfg.scales))(data_p)
+    n_off_b, flags_b = pal_b(data_p, segs, eps2, cons, jnp.int32(n),
+                             stats3=stats3, bstack3=bstack3)
+    np.testing.assert_array_equal(np.asarray(n_off_b), n_off)
+    np.testing.assert_array_equal(np.asarray(flags_b), flags)
