@@ -73,6 +73,39 @@ out["pallas_pass_s"] = [round(t, 3) for t in times]
 out["pallas_counts"] = np.asarray(r[0]).tolist()
 print(json.dumps(out), flush=True)
 
+# Engine-style serving route: cached constraint stats + cached bucket stack
+# (what _device_dense_phase1_flags runs after the first batch).
+from kvmatch_tpu.parallel.query import (make_bucket_stack_prog,
+                                        make_cons_stats_prog)
+out2 = {}
+t0 = time.time()
+stats3 = make_cons_stats_prog(L)(data_p)
+jax.block_until_ready(stats3)
+out2["cons_stats_build_s"] = round(time.time() - t0, 2)
+t0 = time.time()
+bstack3 = make_bucket_stack_prog(icfg)(data_p)
+jax.block_until_ready(bstack3)
+out2["bucket_stack_build_s"] = round(time.time() - t0, 2)
+pal_c = make_dense_probe_step_flags_pallas(icfg, L, norm=True,
+                                           cached_stats=True,
+                                           cached_buckets=True)
+t0 = time.time()
+r2 = pal_c(data_p, segs, eps2, cons, jnp.int32(n), stats3=stats3,
+           bstack3=bstack3)
+jax.block_until_ready(r2)
+out2["cached_compile_run_s"] = round(time.time() - t0, 2)
+times = []
+for _ in range(3):
+    t0 = time.time()
+    r2 = pal_c(data_p, segs, eps2, cons, jnp.int32(n), stats3=stats3,
+               bstack3=bstack3)
+    jax.block_until_ready(r2)
+    times.append(time.time() - t0)
+out2["cached_pass_s"] = [round(t, 3) for t in times]
+out2["cached_counts_equal"] = bool(
+    np.array_equal(np.asarray(r[0]), np.asarray(r2[0])))
+print(json.dumps(out2), flush=True)
+
 if "--xla" in sys.argv:
     xla = make_dense_probe_step_flags(icfg, L, flag_block=256, norm=True)
     t0 = time.time()
