@@ -19,6 +19,7 @@ missing from its answer set).
 Output: one JSON line per section; the `*_decade` lines feed
 docs/results_r5.md.
 """
+import argparse
 import json
 import sys
 import time
@@ -49,9 +50,14 @@ from kvmatch_tpu.index.device_build import build_index_device_stats
 from kvmatch_tpu.ops.regions import (region_ed_distances,
                                      region_znorm_distances)
 
-N = 100_000_000
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--n", type=int, default=100_000_000)
+_ap.add_argument("--per-decade", type=int, default=100)
+_args = _ap.parse_args()
+
+N = _args.n
 L = 8192
-PER_DECADE = 100
+PER_DECADE = _args.per_decade
 DECADES = (-8, -7, -6, -5)
 TARGET = {d: 3 * 10 ** (d + 8) for d in DECADES}   # mid-decade answer counts
 K = 4096                                           # > max target
